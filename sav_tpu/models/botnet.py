@@ -1,0 +1,278 @@
+"""BoTNet: Bottleneck Transformers (Srinivas et al., 2021).
+
+A ResNet-50-style backbone whose last stage replaces the 3x3 conv with
+all-to-all multi-head self-attention over the 2-D grid, with decomposed 2-D
+relative-position logits.
+
+Behavior-compatible with the reference (models/botnet.py:17-331) with its
+mid-refactor crashes fixed (the reference forward cannot run as-is):
+  * ``BoTMHSA`` referenced undefined ``self.head_dim`` (botnet.py:185); the
+    scale here uses the actual head width.
+  * ``BoTBlock`` referenced a nonexistent ``self.config`` and passed
+    ``config=`` to BoTMHSA (botnet.py:227,232); the head count is threaded
+    explicitly instead.
+  * The call argument is ``is_training`` for uniformity with the rest of the
+    zoo (reference used ``train``, which the reference's own trainer never
+    passed correctly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Tuple
+
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+from jax.nn import initializers
+
+from sav_tpu.nn import SqueezeExciteBlock
+from sav_tpu.ops import attention as attention_ops
+
+ModuleDef = Any
+
+
+class BottleneckResNetBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with BN, squeeze-excite and residual."""
+
+    filters: int
+    conv: ModuleDef
+    norm: ModuleDef
+    strides: Tuple[int, int]
+    se_ratio: float = 0.0625
+    projection_factor: int = 4
+    activation_fn: Callable = nn.activation.swish
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        residual = inputs
+
+        y = self.conv(self.filters, kernel_size=(1, 1))(inputs)
+        y = self.norm()(y)
+        y = self.activation_fn(y)
+        y = self.conv(self.filters, kernel_size=(3, 3),
+                      strides=self.strides)(y)
+        y = self.norm()(y)
+        y = self.activation_fn(y)
+        y = self.conv(self.filters * self.projection_factor,
+                      kernel_size=(1, 1))(y)
+        y = self.norm(scale_init=initializers.zeros)(y)
+
+        if self.se_ratio is not None:
+            y = SqueezeExciteBlock(se_ratio=self.se_ratio,
+                                   activation_fn=self.activation_fn,
+                                   dtype=self.dtype)(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * self.projection_factor,
+                                 kernel_size=(1, 1),
+                                 strides=self.strides)(residual)
+            residual = self.norm()(residual)
+            residual = self.activation_fn(residual)
+
+        return self.activation_fn(residual + y)
+
+
+def relative_shift(rel_logits):
+    """Skews ``[B, h, L, 2L-1]`` relative logits into absolute ``[B,h,L,L]``.
+
+    Standard pad-reshape-slice trick (reference: models/botnet.py:77-93).
+    Row q, column k ends up holding the logit for relative offset ``k - q``.
+    """
+    b, h, length, _ = rel_logits.shape
+    x = jnp.pad(rel_logits, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = rearrange(x, 'b h l v -> b h (l v)')
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, length - 1)))
+    x = rearrange(x, 'b h (l v) -> b h l v', l=length + 1)
+    return x[:, :, :length, length - 1:]
+
+
+class RelativeLogits(nn.Module):
+    """Decomposed 2-D relative-position logits for a ``[B,h,H,W,d]`` query.
+
+    Returns ``[B, h, H, W, H, W]`` where entry (p, q) holds
+    ``q_p . r_{h(q)-h(p)} + q_p . r_{w(q)-w(p)}`` with learned per-axis
+    relative embeddings of shape ``(2*size - 1, head_dim)``
+    (reference: models/botnet.py:70-141).
+    """
+
+    head_ch: int
+
+    @staticmethod
+    def _relative_logits_1d(query, rel_pos_emb):
+        """[B,h,H,W,d] x [2W-1,d] -> [B,h,H,H,W,W] (broadcast over rows)."""
+        height = query.shape[2]
+        x = jnp.einsum('bhHWd,md->bhHWm', query, rel_pos_emb)
+        x = rearrange(x, 'b h H W m -> b (h H) W m')
+        x = relative_shift(x)
+        x = rearrange(x, 'b (h H) W V -> b h H W V', H=height)
+        x = jnp.expand_dims(x, axis=3)
+        return jnp.tile(x, [1, 1, 1, height, 1, 1])
+
+    @nn.compact
+    def __call__(self, query):
+        _, _, height, width, _ = query.shape
+
+        rel_pos_emb_w = self.param(
+            'rel_pos_emb_w',
+            initializers.normal(stddev=self.head_ch ** -0.5),
+            (2 * width - 1, self.head_ch))
+        rel_pos_emb_h = self.param(
+            'rel_pos_emb_h',
+            initializers.normal(stddev=self.head_ch ** -0.5),
+            (2 * height - 1, self.head_ch))
+
+        rel_logits_w = self._relative_logits_1d(query, rel_pos_emb_w)
+        rel_logits_w = rearrange(rel_logits_w, 'b h H I W V -> b h H W I V')
+
+        rel_logits_h = self._relative_logits_1d(
+            rearrange(query, 'b h H W d -> b h W H d'), rel_pos_emb_h)
+        rel_logits_h = rearrange(rel_logits_h, 'b h W V H I -> b h H W I V')
+        return rel_logits_h + rel_logits_w
+
+
+class BoTMHSA(nn.Module):
+    """All-pairs MHSA over the 2-D grid with relative-position logits."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = initializers.he_uniform()
+
+    @nn.compact
+    def __call__(self, inputs):
+        _, height, width, in_ch = inputs.shape
+        assert in_ch % self.num_heads == 0
+        head_ch = in_ch // self.num_heads
+
+        conv = functools.partial(nn.Conv,
+                                 features=in_ch,
+                                 kernel_size=(1, 1),
+                                 use_bias=False,
+                                 dtype=self.dtype,
+                                 kernel_init=self.kernel_init)
+        split_heads = functools.partial(rearrange,
+                                        pattern='b H W (h d) -> b h H W d',
+                                        h=self.num_heads)
+        query = split_heads(conv(name='query')(inputs))
+        key = split_heads(conv(name='key')(inputs))
+        value = split_heads(conv(name='value')(inputs))
+
+        scaled_query = query / jnp.sqrt(head_ch).astype(query.dtype)
+        bias = RelativeLogits(head_ch=head_ch)(scaled_query)
+        bias = rearrange(bias, 'b h H W P Q -> b h (H W) (P Q)')
+
+        flatten = functools.partial(rearrange,
+                                    pattern='b h H W d -> b (H W) h d')
+        out = attention_ops.multi_head_attention(
+            flatten(query), flatten(key), flatten(value), bias=bias)
+        return rearrange(out, 'b (H W) h d -> b H W (h d)', H=height, W=width)
+
+
+class BoTBlock(nn.Module):
+    """Bottleneck block with MHSA in place of the 3x3 conv."""
+
+    filters: int
+    conv: ModuleDef
+    norm: ModuleDef
+    strides: Tuple[int, int]
+    num_heads: int = 4
+    projection_factor: int = 4
+    activation_fn: Callable = nn.swish
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        residual = inputs
+
+        y = self.conv(self.filters, kernel_size=(1, 1))(inputs)
+        y = self.norm()(y)
+        y = self.activation_fn(y)
+        y = BoTMHSA(num_heads=self.num_heads, dtype=self.dtype)(y)
+        if self.strides == (2, 2):
+            y = nn.avg_pool(y, window_shape=(2, 2), strides=self.strides,
+                            padding='SAME')
+        y = self.norm()(y)
+        y = self.activation_fn(y)
+        y = self.conv(self.filters * self.projection_factor,
+                      kernel_size=(1, 1))(y)
+        y = self.norm(scale_init=initializers.zeros)(y)
+
+        if self.strides == (2, 2) or residual.shape != y.shape:
+            residual = self.conv(self.filters * self.projection_factor,
+                                 kernel_size=(1, 1),
+                                 strides=self.strides)(residual)
+            residual = self.norm()(residual)
+            residual = self.activation_fn(residual)
+
+        return self.activation_fn(residual + y)
+
+
+class BoTNet(nn.Module):
+    """BoTNet classifier: conv stem, three ResNet stages, one BoT stage."""
+
+    num_classes: int
+    stage_sizes: Tuple[int, ...]
+    stride_one: bool = True
+    se_ratio: float = 0.0625
+    activation_fn: Callable = nn.swish
+    num_heads: int = 4
+    initial_filters: int = 64
+    projection_factor: int = 4
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = initializers.he_uniform()
+    bias_init: Callable = initializers.normal(stddev=1e-6)
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool = True):
+        conv = functools.partial(nn.Conv,
+                                 use_bias=False,
+                                 dtype=self.dtype,
+                                 kernel_init=self.kernel_init)
+        norm = functools.partial(nn.BatchNorm,
+                                 use_running_average=not is_training,
+                                 momentum=self.bn_momentum,
+                                 epsilon=self.bn_epsilon,
+                                 dtype=self.dtype)
+
+        y = conv(self.initial_filters,
+                 kernel_size=(7, 7),
+                 strides=(2, 2),
+                 padding=[(3, 3), (3, 3)])(inputs)
+        y = norm()(y)
+        y = self.activation_fn(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
+
+        for i, stage_size in enumerate(self.stage_sizes[:-1]):
+            for j in range(stage_size):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                y = BottleneckResNetBlock(
+                    filters=self.initial_filters * 2 ** i,
+                    strides=strides,
+                    conv=conv,
+                    norm=norm,
+                    se_ratio=self.se_ratio,
+                    projection_factor=self.projection_factor,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype)(y)
+
+        last = len(self.stage_sizes) - 1
+        for j in range(self.stage_sizes[-1]):
+            strides = (2, 2) if j == 0 and not self.stride_one else (1, 1)
+            y = BoTBlock(filters=self.initial_filters * 2 ** last,
+                         strides=strides,
+                         conv=conv,
+                         norm=norm,
+                         num_heads=self.num_heads,
+                         projection_factor=self.projection_factor,
+                         activation_fn=self.activation_fn,
+                         dtype=self.dtype)(y)
+
+        y = jnp.mean(y, axis=(1, 2))
+        y = nn.Dense(self.num_classes,
+                     dtype=self.dtype,
+                     kernel_init=self.kernel_init,
+                     bias_init=self.bias_init)(y)
+        return jnp.asarray(y, dtype=self.dtype)

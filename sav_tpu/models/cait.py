@@ -1,0 +1,211 @@
+"""CaiT: Class-Attention in Image Transformers (Touvron et al., 2021).
+
+Checkpoint- and API-compatible with the reference (models/cait.py:10-183):
+a self-attention body with talking heads + LayerScale + stochastic depth,
+followed by class-attention blocks where only the cls token is updated.
+
+Note: the reference constructs its body ``Encoder`` without forwarding
+``dtype`` (models/cait.py:150-158), silently running the body in float32 even
+for bf16 models; we forward dtype so bf16 actually reaches the hot path.
+In float32 the two are identical, which is what the golden-logit harness
+checks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sav_tpu.nn import (AddAbsPosEmbed, AttentionBlock, FFBlock,
+                        LayerScaleBlock, PatchEmbedBlock, SelfAttentionBlock,
+                        StochasticDepthBlock)
+
+
+class ClassSelfAttentionBlock(AttentionBlock):
+    """Attention where only the first (cls) token forms the query."""
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        inputs_q = inputs[:, :1, :]
+        return super().__call__(inputs_q, inputs, is_training=is_training)
+
+
+class EncoderBlock(nn.Module):
+    """CaiT body block: talking-heads SA and MLP, each behind
+    LayerScale + stochastic depth."""
+
+    num_heads: int
+    stoch_depth_rate: float
+    layerscale_eps: float
+    expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = nn.LayerNorm(dtype=self.dtype)(inputs)
+        x = SelfAttentionBlock(num_heads=self.num_heads,
+                               talking_heads=True,
+                               attn_dropout_rate=self.attn_dropout_rate,
+                               out_dropout_rate=self.dropout_rate,
+                               dtype=self.dtype,
+                               use_kernel=self.use_kernel)(
+                                   x, is_training=is_training)
+        x = LayerScaleBlock(eps=self.layerscale_eps,
+                            dtype=self.dtype)(x, is_training=is_training)
+        x = StochasticDepthBlock(drop_rate=self.stoch_depth_rate)(
+            x, is_training=is_training)
+        x = x + inputs
+
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = FFBlock(expand_ratio=self.expand_ratio,
+                    dropout_rate=self.dropout_rate,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype)(y, is_training=is_training)
+        y = LayerScaleBlock(eps=self.layerscale_eps,
+                            dtype=self.dtype)(y, is_training=is_training)
+        y = StochasticDepthBlock(drop_rate=self.stoch_depth_rate)(
+            y, is_training=is_training)
+        return x + y
+
+
+class Encoder(nn.Module):
+    """Absolute position embedding + N CaiT body blocks (no final LN)."""
+
+    num_layers: int
+    num_heads: int
+    stoch_depth_rate: float
+    layerscale_eps: float
+    expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = AddAbsPosEmbed()(inputs)
+        x = nn.Dropout(rate=self.dropout_rate)(x,
+                                               deterministic=not is_training)
+        for _ in range(self.num_layers):
+            x = EncoderBlock(num_heads=self.num_heads,
+                             expand_ratio=self.expand_ratio,
+                             attn_dropout_rate=self.attn_dropout_rate,
+                             dropout_rate=self.dropout_rate,
+                             stoch_depth_rate=self.stoch_depth_rate,
+                             layerscale_eps=self.layerscale_eps,
+                             activation_fn=self.activation_fn,
+                             dtype=self.dtype,
+                             use_kernel=self.use_kernel)(
+                                 x, is_training=is_training)
+        return x
+
+
+class CAEncoderBlock(nn.Module):
+    """Class-attention block: the cls query attends over [cls; patches] and
+    only the cls token is updated (patches stay frozen)."""
+
+    num_heads: int
+    stoch_depth_rate: float
+    layerscale_eps: float
+    expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, cls_token, is_training: bool):
+        x = jnp.concatenate([cls_token, inputs], axis=1)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = ClassSelfAttentionBlock(num_heads=self.num_heads,
+                                    attn_dropout_rate=self.attn_dropout_rate,
+                                    out_dropout_rate=self.dropout_rate,
+                                    dtype=self.dtype,
+                                    use_kernel=self.use_kernel)(
+                                        x, is_training=is_training)
+        x = LayerScaleBlock(eps=self.layerscale_eps,
+                            dtype=self.dtype)(x, is_training=is_training)
+        x = StochasticDepthBlock(drop_rate=self.stoch_depth_rate)(
+            x, is_training=is_training)
+        cls_token = cls_token + x
+
+        y = nn.LayerNorm(dtype=self.dtype)(cls_token)
+        y = FFBlock(expand_ratio=self.expand_ratio,
+                    dropout_rate=self.dropout_rate,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype)(y, is_training=is_training)
+        y = LayerScaleBlock(eps=self.layerscale_eps,
+                            dtype=self.dtype)(y, is_training=is_training)
+        y = StochasticDepthBlock(drop_rate=self.stoch_depth_rate)(
+            y, is_training=is_training)
+        return cls_token + y
+
+
+class CaiT(nn.Module):
+    """CaiT classifier: SA body, then class-attention layers for the head."""
+
+    num_classes: int
+    num_layers: int
+    num_layers_token_only: int
+    num_heads: int
+    embed_dim: int
+    patch_shape: Tuple[int, int]
+    stoch_depth_rate: float
+    layerscale_eps: float
+    expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = PatchEmbedBlock(patch_shape=self.patch_shape,
+                            embed_dim=self.embed_dim,
+                            dtype=self.dtype)(inputs)
+
+        x = Encoder(num_layers=self.num_layers,
+                    num_heads=self.num_heads,
+                    expand_ratio=self.expand_ratio,
+                    attn_dropout_rate=self.attn_dropout_rate,
+                    dropout_rate=self.dropout_rate,
+                    stoch_depth_rate=self.stoch_depth_rate,
+                    layerscale_eps=self.layerscale_eps,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype,
+                    use_kernel=self.use_kernel)(x, is_training=is_training)
+
+        batch = x.shape[0]
+        cls_token = self.param('cls', nn.initializers.zeros,
+                               (1, 1, self.embed_dim))
+        cls_token = jnp.tile(cls_token, [batch, 1, 1])
+
+        for _ in range(self.num_layers_token_only):
+            cls_token = CAEncoderBlock(
+                num_heads=self.num_heads,
+                expand_ratio=self.expand_ratio,
+                attn_dropout_rate=self.attn_dropout_rate,
+                dropout_rate=self.dropout_rate,
+                stoch_depth_rate=self.stoch_depth_rate,
+                layerscale_eps=self.layerscale_eps,
+                activation_fn=self.activation_fn,
+                dtype=self.dtype,
+                use_kernel=self.use_kernel)(x, cls_token,
+                                            is_training=is_training)
+
+        x = jnp.concatenate([cls_token, x], axis=1)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+
+        return nn.Dense(features=self.num_classes,
+                        use_bias=True,
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros)(x[:, 0])

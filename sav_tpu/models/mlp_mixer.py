@@ -1,0 +1,71 @@
+"""MLP-Mixer (Tolstikhin et al., 2021) — attention-free token/channel mixing.
+
+Checkpoint- and API-compatible with the reference (models/mlp_mixer.py:10-60).
+The token-mixing MLP is expressed as FFBlock on the transposed ``[.., d, l]``
+layout, exactly like the reference, so parameters stay drop-in compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from sav_tpu.nn import FFBlock, PatchEmbedBlock
+
+
+class MixerBlock(nn.Module):
+    """LN -> token-mixing MLP -> residual; LN -> channel-mixing -> residual."""
+
+    tokens_expand_ratio: float
+    channels_expand_ratio: float
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = nn.LayerNorm(dtype=self.dtype)(inputs)
+        x = rearrange(x, '... l d -> ... d l')
+        x = FFBlock(expand_ratio=self.tokens_expand_ratio,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype)(x, is_training=is_training)
+        x = rearrange(x, '... d l -> ... l d')
+        x = x + inputs
+
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = FFBlock(expand_ratio=self.channels_expand_ratio,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype)(y, is_training=is_training)
+        return x + y
+
+
+class MLPMixer(nn.Module):
+    """MLP-Mixer classifier over NHWC images."""
+
+    num_classes: int
+    num_layers: int
+    embed_dim: int
+    patch_shape: Tuple[int, int]
+    tokens_expand_ratio: float = 0.5
+    channels_expand_ratio: float = 4
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = PatchEmbedBlock(patch_shape=self.patch_shape,
+                            embed_dim=self.embed_dim,
+                            use_bias=True,
+                            dtype=self.dtype)(inputs)
+
+        for _ in range(self.num_layers):
+            x = MixerBlock(tokens_expand_ratio=self.tokens_expand_ratio,
+                           channels_expand_ratio=self.channels_expand_ratio,
+                           activation_fn=self.activation_fn,
+                           dtype=self.dtype)(x, is_training=is_training)
+
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=1)
+        return nn.Dense(features=self.num_classes, dtype=self.dtype)(x)

@@ -1,0 +1,203 @@
+"""TNT: Transformer in Transformer (Han et al., 2021).
+
+Checkpoint- and API-compatible with the reference (models/tnt.py:10-182):
+an inner transformer over per-patch pixel tokens feeding an outer transformer
+over patch tokens through a fold-and-project bridge.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple, Union
+
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from sav_tpu.nn import (AddAbsPosEmbed, FFBlock, PatchEmbedBlock,
+                        SelfAttentionBlock)
+
+
+class PixelEmbedBlock(nn.Module):
+    """Embeds each patch as a sequence of transformed-pixel tokens.
+
+    Output is ``[(B * num_patches), inner_len, embed_dim]`` where
+    ``inner_len = (ph/t1) * (pw/t2)`` (reference: models/tnt.py:10-33).
+    """
+
+    patch_shape: Tuple[int, int]
+    transformed_patch_shape: Tuple[int, int]
+    embed_dim: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        ph, pw = self.patch_shape
+        t1, t2 = self.transformed_patch_shape
+        assert ph % t1 == 0 and pw % t2 == 0
+
+        x = rearrange(inputs, 'b (h ph) (w pw) c -> (b h w) ph pw c',
+                      ph=ph, pw=pw)
+        x = rearrange(x, 'n (p1 t1) (p2 t2) c -> n (p1 p2) (c t1 t2)',
+                      t1=t1, t2=t2)
+        return nn.Dense(self.embed_dim,
+                        use_bias=self.use_bias,
+                        dtype=self.dtype)(x)
+
+
+class Inner2OuterBlock(nn.Module):
+    """Folds pixel tokens flat, projects to the outer width and adds them to
+    the patch embeddings (cls row receives zeros via the shift pad)."""
+
+    out_ch: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, patch_inputs, pixel_inputs):
+        batch = patch_inputs.shape[0]
+        out_ch = self.out_ch or patch_inputs.shape[-1]
+
+        x = rearrange(pixel_inputs, '... n d -> ... (n d)')
+        x = nn.Dense(features=out_ch, dtype=self.dtype)(x)
+        x = rearrange(x, '(b l) d -> b l d', b=batch)
+        x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))
+        return x + patch_inputs
+
+
+class EncoderBlock(nn.Module):
+    """One TNT layer: inner transformer block, bridge, outer block."""
+
+    inner_num_heads: int
+    outer_num_heads: int
+    inner_expand_ratio: float = 4
+    outer_expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, patch_inputs, pixel_inputs, is_training: bool):
+        inner_x = nn.LayerNorm(dtype=self.dtype)(pixel_inputs)
+        inner_x = SelfAttentionBlock(num_heads=self.inner_num_heads,
+                                     attn_dropout_rate=self.attn_dropout_rate,
+                                     out_dropout_rate=self.dropout_rate,
+                                     dtype=self.dtype,
+                                     use_kernel=self.use_kernel)(
+                                         inner_x, is_training=is_training)
+        inner_x = inner_x + pixel_inputs
+        inner_y = nn.LayerNorm(dtype=self.dtype)(inner_x)
+        inner_y = FFBlock(expand_ratio=self.inner_expand_ratio,
+                          dropout_rate=self.dropout_rate,
+                          dtype=self.dtype)(inner_y, is_training=is_training)
+        inner_output = inner_x + inner_y
+
+        outer_x = Inner2OuterBlock(dtype=self.dtype)(patch_inputs,
+                                                     inner_output)
+
+        outer_x = nn.LayerNorm(dtype=self.dtype)(outer_x)
+        outer_x = SelfAttentionBlock(num_heads=self.outer_num_heads,
+                                     attn_dropout_rate=self.attn_dropout_rate,
+                                     out_dropout_rate=self.dropout_rate,
+                                     dtype=self.dtype,
+                                     use_kernel=self.use_kernel)(
+                                         outer_x, is_training=is_training)
+        outer_x = outer_x + patch_inputs
+        outer_y = nn.LayerNorm(dtype=self.dtype)(outer_x)
+        outer_y = FFBlock(expand_ratio=self.outer_expand_ratio,
+                          dropout_rate=self.dropout_rate,
+                          dtype=self.dtype)(outer_y, is_training=is_training)
+        return outer_x + outer_y, inner_output
+
+
+class Encoder(nn.Module):
+    """N TNT layers threading (patch, pixel) state; returns patch tokens."""
+
+    num_layers: int
+    inner_num_heads: int
+    outer_num_heads: int
+    inner_expand_ratio: float = 4
+    outer_expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, patch_embeddings, pixel_embeddings, is_training: bool):
+        for _ in range(self.num_layers):
+            patch_embeddings, pixel_embeddings = EncoderBlock(
+                inner_num_heads=self.inner_num_heads,
+                outer_num_heads=self.outer_num_heads,
+                attn_dropout_rate=self.attn_dropout_rate,
+                dropout_rate=self.dropout_rate,
+                activation_fn=self.activation_fn,
+                dtype=self.dtype,
+                use_kernel=self.use_kernel)(patch_embeddings,
+                                            pixel_embeddings,
+                                            is_training=is_training)
+        return patch_embeddings
+
+
+class TNT(nn.Module):
+    """TNT classifier over NHWC images."""
+
+    num_classes: int
+    num_layers: int
+    inner_num_heads: int
+    outer_num_heads: int
+    inner_embed_dim: int
+    outer_embed_dim: int
+    patch_shape: Tuple[int, int] = (16, 16)
+    transformed_patch_shape: Tuple[int, int] = (4, 4)
+    inner_expand_ratio: float = 4
+    outer_expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        pixel_embeddings = PixelEmbedBlock(
+            patch_shape=self.patch_shape,
+            transformed_patch_shape=self.transformed_patch_shape,
+            embed_dim=self.inner_embed_dim,
+            dtype=self.dtype)(inputs)
+
+        patch_embeddings = PatchEmbedBlock(patch_shape=self.patch_shape,
+                                           embed_dim=self.outer_embed_dim,
+                                           use_bias=True,
+                                           dtype=self.dtype)(inputs)
+
+        batch = patch_embeddings.shape[0]
+        cls_token = self.param('cls', nn.initializers.zeros,
+                               (1, 1, self.outer_embed_dim))
+        patch_embeddings = jnp.concatenate(
+            [jnp.tile(cls_token, [batch, 1, 1]), patch_embeddings], axis=1)
+
+        pixel_embeddings = AddAbsPosEmbed()(pixel_embeddings)
+        patch_embeddings = AddAbsPosEmbed()(patch_embeddings)
+
+        patch_embeddings = nn.Dropout(rate=self.dropout_rate)(
+            patch_embeddings, deterministic=not is_training)
+
+        patch_embeddings = Encoder(num_layers=self.num_layers,
+                                   inner_num_heads=self.inner_num_heads,
+                                   outer_num_heads=self.outer_num_heads,
+                                   attn_dropout_rate=self.attn_dropout_rate,
+                                   dropout_rate=self.dropout_rate,
+                                   activation_fn=self.activation_fn,
+                                   dtype=self.dtype,
+                                   use_kernel=self.use_kernel)(
+                                       patch_embeddings,
+                                       pixel_embeddings,
+                                       is_training=is_training)
+
+        return nn.Dense(features=self.num_classes,
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros)(
+                            patch_embeddings[:, 0])

@@ -1,0 +1,117 @@
+"""ViT: Vision Transformer (Dosovitskiy et al., 2020).
+
+Checkpoint- and API-compatible with the reference implementation
+(reference: models/vit.py:9-99): pre-LN encoder blocks, learned absolute
+position embedding, zero-initialized cls token and classifier head.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sav_tpu.nn import (AddAbsPosEmbed, FFBlock, PatchEmbedBlock,
+                        SelfAttentionBlock)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer block: LN->MHA->residual, LN->MLP->residual."""
+
+    num_heads: int
+    expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = nn.LayerNorm(dtype=self.dtype)(inputs)
+        x = SelfAttentionBlock(num_heads=self.num_heads,
+                               attn_dropout_rate=self.attn_dropout_rate,
+                               out_dropout_rate=self.dropout_rate,
+                               dtype=self.dtype,
+                               use_kernel=self.use_kernel)(
+                                   x, is_training=is_training)
+        x = x + inputs
+
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = FFBlock(expand_ratio=self.expand_ratio,
+                    dropout_rate=self.dropout_rate,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype)(y, is_training=is_training)
+        return x + y
+
+
+class Encoder(nn.Module):
+    """Position embedding + N encoder blocks + final LayerNorm."""
+
+    num_layers: int
+    num_heads: int
+    expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = AddAbsPosEmbed()(inputs)
+        x = nn.Dropout(rate=self.dropout_rate)(x,
+                                               deterministic=not is_training)
+        for _ in range(self.num_layers):
+            x = EncoderBlock(num_heads=self.num_heads,
+                             expand_ratio=self.expand_ratio,
+                             attn_dropout_rate=self.attn_dropout_rate,
+                             dropout_rate=self.dropout_rate,
+                             activation_fn=self.activation_fn,
+                             dtype=self.dtype,
+                             use_kernel=self.use_kernel)(
+                                 x, is_training=is_training)
+        return nn.LayerNorm(dtype=self.dtype)(x)
+
+
+class ViT(nn.Module):
+    """Vision Transformer classifier over NHWC images."""
+
+    num_classes: int
+    num_layers: int
+    num_heads: int
+    embed_dim: int
+    patch_shape: Tuple[int, int]
+    expand_ratio: float = 4
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.0
+    activation_fn: Callable = nn.activation.gelu
+    dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        assert self.embed_dim % self.num_heads == 0
+
+        x = PatchEmbedBlock(patch_shape=self.patch_shape,
+                            embed_dim=self.embed_dim,
+                            dtype=self.dtype)(inputs)
+
+        batch = x.shape[0]
+        cls_token = self.param('cls', nn.initializers.zeros,
+                               (1, 1, self.embed_dim))
+        x = jnp.concatenate([jnp.tile(cls_token, [batch, 1, 1]), x], axis=1)
+
+        x = Encoder(num_layers=self.num_layers,
+                    num_heads=self.num_heads,
+                    expand_ratio=self.expand_ratio,
+                    attn_dropout_rate=self.attn_dropout_rate,
+                    dropout_rate=self.dropout_rate,
+                    activation_fn=self.activation_fn,
+                    dtype=self.dtype,
+                    use_kernel=self.use_kernel)(x, is_training=is_training)
+
+        return nn.Dense(features=self.num_classes,
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros)(x[:, 0])

@@ -1,0 +1,94 @@
+"""Device mesh and sharding-rule utilities.
+
+The reference scaled only by data parallelism via ``jax.pmap`` +
+``lax.pmean`` (reference: train.py:94-96,228-231). Here the same math is
+expressed TPU-natively: one ``jax.sharding.Mesh`` with a ``data`` axis for
+batch sharding over ICI and an optional ``model`` axis for Megatron-style
+tensor parallelism of attention heads and MLP hidden units. XLA/GSPMD
+inserts the all-reduces; there is no hand-written collective in the trainer.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def create_mesh(devices=None, model_parallelism: int = 1) -> Mesh:
+    """Builds a ('data', 'model') mesh over the given (or all) devices.
+
+    ``model_parallelism=1`` is pure data parallelism — the reference's only
+    strategy. The model axis is placed innermost so tensor-parallel
+    collectives ride the fastest ICI links.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices.size % model_parallelism:
+        raise ValueError(
+            f'{devices.size} devices not divisible by '
+            f'model_parallelism={model_parallelism}')
+    grid = devices.reshape(devices.size // model_parallelism,
+                           model_parallelism)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shards the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Megatron-style tensor-parallel rules for transformer params, matched
+# against flax param key paths. Attention q/k/v kernels are (in, heads, dim)
+# -> shard heads; the merged output kernel is (heads, dim, out) -> shard
+# heads; MLP hidden units shard on the hidden axis (column- then
+# row-parallel). Everything else is replicated.
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"\['(queries|keys|values)'\]\['kernel'\]", P(None, MODEL_AXIS, None)),
+    (r"\['(queries|keys|values)'\]\['bias'\]", P(MODEL_AXIS, None)),
+    (r"\['(Self|Class|LCSelf|CvT)?Attention[^ ]*'\]\['DenseGeneral_0'\]"
+     r"\['kernel'\]", P(MODEL_AXIS, None, None)),
+    (r"\['FFBlock_\d+'\]\['Dense_0'\]\['kernel'\]", P(None, MODEL_AXIS)),
+    (r"\['FFBlock_\d+'\]\['Dense_0'\]\['bias'\]", P(MODEL_AXIS)),
+    (r"\['FFBlock_\d+'\]\['Dense_1'\]\['kernel'\]", P(MODEL_AXIS, None)),
+)
+
+
+def param_spec(path: str) -> P:
+    """PartitionSpec for one param, keyed by its flax key path string."""
+    for pattern, spec in _TP_RULES:
+        if re.search(pattern, path):
+            return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> object:
+    """Pytree of NamedShardings for a param/variable tree.
+
+    With ``model`` axis size 1 every spec degenerates to fully replicated,
+    i.e. plain data parallelism.
+    """
+    if mesh.shape[MODEL_AXIS] == 1:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), params)
+
+    def one(path, leaf):
+        spec = param_spec(jax.tree_util.keystr(path))
+        # Guard: only apply a spec if the axis size divides the dim.
+        sizes = dict(mesh.shape)
+        for dim, axis in enumerate(spec):
+            if axis is not None and (dim >= leaf.ndim
+                                     or leaf.shape[dim] % sizes[axis]):
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)

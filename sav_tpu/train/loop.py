@@ -1,0 +1,212 @@
+"""Training orchestration: config, metric logging, and the train loop.
+
+Covers the reference's two entry-point loops (reference: train.py:191-255,
+simple_train.py:130-173) with the gaps closed: restore-on-start, metric
+transfer outside the compiled step (the reference logged from *inside* its
+pmapped fn, train.py:102-107), throughput counters, and optional profiler
+traces (the reference had none — SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from sav_tpu.data.synthetic import SyntheticDataset
+from sav_tpu.models import create_model
+from sav_tpu.parallel.mesh import create_mesh
+from sav_tpu.train import steps as steps_lib
+from sav_tpu.train.checkpoint import CheckpointManager
+from sav_tpu.train.state import (TrainState, build_optimizer,
+                                 warmup_cosine_schedule)
+
+IMAGENET_TRAIN_IMAGES = 1_281_167
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Typed training configuration (field names mirror the reference CLI,
+    reference: train.py:130-190)."""
+
+    model_name: str = 'vit_b_patch16'
+    img_size: int = 224
+    num_epochs: int = 300
+    batch_size: int = 32
+    label_smoothing: float = 0.1
+    augmentation: str = 'cutmix_mixup_randaugment_405'
+    lr: float = 5e-4
+    weight_decay: float = 1e-4
+    clip_grad: Optional[float] = None
+    checkpoint_dir: Optional[str] = None
+    seed: int = 42
+    # Extensions beyond the reference CLI:
+    num_classes: int = 1000
+    dtype: str = 'bfloat16'
+    dataset: str = 'synthetic'
+    images_per_epoch: int = IMAGENET_TRAIN_IMAGES
+    total_steps: Optional[int] = None       # overrides epoch math if set
+    model_parallelism: int = 1
+    log_every: int = 100
+    eval_every_epochs: int = 5
+    checkpoint_every_epochs: int = 10
+    eval_batches: int = 16
+    profile_steps: Optional[tuple] = None   # (start_step, stop_step)
+    profile_dir: str = '/tmp/sav_tpu_profile'
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return max(1, self.images_per_epoch // self.batch_size)
+
+    @property
+    def steps_total(self) -> int:
+        if self.total_steps is not None:
+            return self.total_steps
+        return self.steps_per_epoch * self.num_epochs
+
+
+class MetricLogger:
+    """Host-side scalar logger; wandb-compatible if wandb is importable."""
+
+    def __init__(self, use_wandb: bool = False, project: str = 'sav_tpu'):
+        self._wandb = None
+        if use_wandb and jax.process_index() == 0:
+            try:
+                import wandb  # optional; not installed in all environments
+                wandb.init(project=project)
+                self._wandb = wandb
+            except ImportError:
+                logging.warning('wandb requested but not installed')
+
+    def log(self, metrics: Dict[str, Any], step: int):
+        if jax.process_index() != 0:
+            return
+        scalars = {k: float(v) for k, v in metrics.items()}
+        logging.info('step %d: %s', step,
+                     ' '.join(f'{k}={v:.5g}' for k, v in scalars.items()))
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
+
+
+class Trainer:
+    """Builds the mesh/model/optimizer and runs the sharded training loop."""
+
+    def __init__(self, config: TrainConfig, use_wandb: bool = False):
+        self.config = config
+        self.mesh = create_mesh(
+            model_parallelism=config.model_parallelism)
+        self.model = create_model(config.model_name,
+                                  num_classes=config.num_classes,
+                                  dtype=jnp.dtype(config.dtype))
+        self.schedule = warmup_cosine_schedule(
+            config.lr, config.batch_size, config.steps_per_epoch)
+        self.tx = build_optimizer(self.schedule,
+                                  weight_decay=config.weight_decay,
+                                  clip_grad=config.clip_grad)
+        self.logger = MetricLogger(use_wandb=use_wandb)
+        self.checkpoints = (CheckpointManager(config.checkpoint_dir)
+                            if config.checkpoint_dir else None)
+
+        rng = jax.random.PRNGKey(config.seed)
+        self.init_rng, self.step_rng = jax.random.split(rng)
+
+        variables = jax.jit(self.model.init, static_argnames='is_training')(
+            {'params': self.init_rng},
+            jnp.ones((1, config.img_size, config.img_size, 3)),
+            is_training=False)
+        state = TrainState.create(variables, self.tx)
+        state = steps_lib.shard_state(self.mesh, state)
+
+        if self.checkpoints is not None:
+            restored_step = self.checkpoints.latest_step()
+            if restored_step is not None:
+                logging.info('restoring checkpoint at step %d', restored_step)
+                state = self.checkpoints.restore(state)
+        self.state = state
+
+        self.train_step = steps_lib.make_train_step(
+            self.model, self.tx, self.mesh, state,
+            num_classes=config.num_classes,
+            label_smoothing=config.label_smoothing)
+        self.eval_step = steps_lib.make_eval_step(
+            self.model, self.mesh, state, num_classes=config.num_classes)
+
+    def _dataset(self, seed_offset: int = 0) -> SyntheticDataset:
+        c = self.config
+        if c.dataset != 'synthetic':
+            from sav_tpu.data.pipeline import create_dataset
+            return create_dataset(c.dataset, batch_size=c.batch_size,
+                                  image_size=c.img_size,
+                                  num_classes=c.num_classes,
+                                  seed=c.seed + seed_offset, mesh=self.mesh,
+                                  augmentation=c.augmentation)
+        return SyntheticDataset(c.batch_size, c.img_size,
+                                num_classes=c.num_classes,
+                                seed=c.seed + seed_offset, mesh=self.mesh)
+
+    def evaluate(self, dataset, num_batches: int) -> Dict[str, float]:
+        sums = None
+        for step in range(num_batches):
+            batch = dataset.batch(step)
+            out = self.eval_step(self.state, batch)
+            out = jax.device_get(out)
+            sums = out if sums is None else jax.tree_util.tree_map(
+                np.add, sums, out)
+        count = max(float(sums.pop('eval_count')), 1.0)
+        return {k: float(v) / count for k, v in sums.items()}
+
+    def run(self) -> Dict[str, float]:
+        c = self.config
+        train_data = self._dataset()
+        eval_data = self._dataset(seed_offset=1)
+        steps_per_eval = c.steps_per_epoch * c.eval_every_epochs
+        steps_per_ckpt = c.steps_per_epoch * c.checkpoint_every_epochs
+
+        start_step = int(jax.device_get(self.state.step))
+        last_metrics: Dict[str, float] = {}
+        window_start = time.perf_counter()
+        window_images = 0
+
+        for step in range(start_step, c.steps_total):
+            if c.profile_steps and step == c.profile_steps[0]:
+                jax.profiler.start_trace(c.profile_dir)
+
+            batch = train_data.batch(step)
+            self.state, metrics = self.train_step(self.state, batch,
+                                                  self.step_rng)
+            window_images += c.batch_size
+
+            if c.profile_steps and step == c.profile_steps[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+
+            if step % c.log_every == 0 or step == c.steps_total - 1:
+                metrics = jax.device_get(metrics)
+                elapsed = time.perf_counter() - window_start
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics['images_per_sec'] = window_images / max(
+                    elapsed, 1e-9)
+                last_metrics['learning_rate'] = float(self.schedule(step))
+                self.logger.log(last_metrics, step)
+                window_start = time.perf_counter()
+                window_images = 0
+
+            next_step = step + 1
+            if self.checkpoints is not None and (
+                    next_step % steps_per_ckpt == 0
+                    or next_step == c.steps_total):
+                self.checkpoints.save(next_step, self.state)
+
+            if next_step % steps_per_eval == 0 or next_step == c.steps_total:
+                eval_metrics = self.evaluate(eval_data, c.eval_batches)
+                self.logger.log(eval_metrics, next_step)
+                last_metrics.update(eval_metrics)
+
+        if self.checkpoints is not None:
+            self.checkpoints.wait()
+        return last_metrics

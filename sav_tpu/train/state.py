@@ -1,0 +1,95 @@
+"""Train state and optimizer construction.
+
+The optimizer chain matches the reference recipe (reference: train.py:25-27):
+global-norm clip -> Adam scaling -> additive weight decay -> LR schedule —
+with the reference's sign bug fixed (its schedule scaling was positive, which
+ascends the loss; simple_train.py:25-27 used the correct negative scale).
+
+Unlike the reference TrainState, batch statistics are first-class state:
+the reference dropped BatchNorm updates on the floor (train.py:82 applies
+with raw params and no ``mutable=``), which silently broke CvT/CeiT/BoTNet
+training (SURVEY §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import optax
+
+
+def build_optimizer(
+    learning_rate: Callable[[int], float] | float,
+    weight_decay: float = 1e-4,
+    clip_grad: Optional[float] = None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Reference-recipe optimizer: clip | adam | weight decay | -lr."""
+    parts = []
+    if clip_grad is not None:
+        parts.append(optax.clip_by_global_norm(clip_grad))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if callable(learning_rate):
+        parts.append(optax.scale_by_schedule(
+            lambda step: -learning_rate(step)))
+    else:
+        parts.append(optax.scale(-learning_rate))
+    return optax.chain(*parts)
+
+
+def warmup_cosine_schedule(base_lr: float,
+                           batch_size: int,
+                           steps_per_epoch: int,
+                           warmup_epochs: int = 5,
+                           decay_epochs: int = 30,
+                           end_value: float = 1e-5):
+    """Linear-scaled warmup-cosine schedule (reference: train.py:214-220)."""
+    peak = base_lr * (batch_size / 512)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak,
+        warmup_steps=warmup_epochs * steps_per_epoch,
+        decay_steps=decay_epochs * steps_per_epoch,
+        end_value=end_value)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Pure pytree of everything a train step updates."""
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, variables, tx: optax.GradientTransformation):
+        params = variables['params']
+        return cls(
+            step=jax.numpy.zeros((), jax.numpy.int32),
+            params=params,
+            batch_stats=variables.get('batch_stats', {}),
+            opt_state=tx.init(params),
+        )
+
+    def variables(self):
+        v = {'params': self.params}
+        if self.batch_stats:
+            v['batch_stats'] = self.batch_stats
+        return v
+
+    def apply_gradients(self, tx: optax.GradientTransformation, grads,
+                        new_batch_stats=None):
+        updates, opt_state = tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=params,
+            batch_stats=(self.batch_stats if new_batch_stats is None
+                         else new_batch_stats),
+            opt_state=opt_state)

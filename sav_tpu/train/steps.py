@@ -1,0 +1,154 @@
+"""Jitted, mesh-sharded train and eval steps.
+
+TPU-native replacement for the reference's pmap steps (reference:
+train.py:77-120): one ``jax.jit`` over an explicit ``Mesh`` with
+NamedShardings. The batch is sharded over the ``data`` axis; parameters and
+optimizer state follow the tensor-parallel rules in ``sav_tpu.parallel.mesh``
+(fully replicated when the model axis is 1). GSPMD inserts the gradient
+all-reduce that pmap expressed as ``lax.pmean`` (train.py:96) — the loss is a
+mean over the *global* batch, so no 1/device_count scaling trick is needed.
+
+RNG plumbing: dropout and stochastic-depth streams are folded in from the
+step counter, deterministic under any sharding — the reference never passed
+these streams at all (SURVEY §3.4), so CaiT-style training crashed there.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sav_tpu.parallel import mesh as mesh_lib
+from sav_tpu.train.state import TrainState
+from sav_tpu.utils.metrics import topk_correct
+
+
+def blended_targets(batch: Dict[str, jax.Array], num_classes: int,
+                    label_smoothing: float) -> jax.Array:
+    """One-hot targets with optional mixup/cutmix blending and smoothing.
+
+    Batch schema matches the reference (train.py:84-88):
+    ``labels`` plus optional ``mix_labels`` and per-example ``ratio``.
+    """
+    y = jax.nn.one_hot(batch['labels'], num_classes)
+    if 'mix_labels' in batch:
+        y_mix = jax.nn.one_hot(batch['mix_labels'], num_classes)
+        ratio = batch['ratio'][:, None]
+        y = ratio * y + (1.0 - ratio) * y_mix
+    if label_smoothing:
+        y = optax.smooth_labels(y, label_smoothing)
+    return y
+
+
+def train_step(state: TrainState, batch: Dict[str, jax.Array],
+               rng: jax.Array, *, model, tx, num_classes: int,
+               label_smoothing: float):
+    """One optimizer step; returns (new_state, metrics)."""
+    step_rng = jax.random.fold_in(rng, state.step)
+    rngs = {'dropout': jax.random.fold_in(step_rng, 0),
+            'stochastic_depth': jax.random.fold_in(step_rng, 1)}
+
+    def loss_fn(params):
+        variables = {'params': params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        images = batch['images'].astype(model.dtype)
+        logits, updates = model.apply(variables, images, is_training=True,
+                                      rngs=rngs, mutable=['batch_stats'])
+        logits = logits.astype(jnp.float32)
+        targets = blended_targets(batch, num_classes, label_smoothing)
+        loss = jnp.mean(optax.softmax_cross_entropy(logits, targets))
+        return loss, (logits, updates.get('batch_stats'))
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    metrics = {'loss': loss}
+    acc = topk_correct(logits, batch['labels'], prefix='train_')
+    metrics.update(jax.tree_util.tree_map(jnp.mean, acc))
+
+    new_state = state.apply_gradients(tx, grads, new_stats)
+    return new_state, metrics
+
+
+def eval_step(state: TrainState, batch: Dict[str, jax.Array], *, model,
+              num_classes: int):
+    """Summed loss/correct counts over valid examples (mask-aware so padded
+    eval batches don't skew the average)."""
+    images = batch['images'].astype(model.dtype)
+    logits = model.apply(state.variables(), images, is_training=False)
+    logits = logits.astype(jnp.float32)
+    y = jax.nn.one_hot(batch['labels'], num_classes)
+    per_example = optax.softmax_cross_entropy(logits, y)
+    mask = batch.get('mask')
+    if mask is None:
+        mask = jnp.ones(per_example.shape[0], jnp.float32)
+    acc = topk_correct(logits, batch['labels'], mask=mask, prefix='eval_')
+    sums = {'eval_loss': jnp.sum(per_example * mask),
+            'eval_count': jnp.sum(mask)}
+    sums.update({k: jnp.sum(v) for k, v in acc.items()})
+    return sums
+
+
+def _tree_shardings(mesh: Mesh, tree):
+    """NamedShardings for any pytree, by tensor-parallel path rules."""
+    if mesh.shape[mesh_lib.MODEL_AXIS] == 1:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), tree)
+
+    def one(path, leaf):
+        spec = mesh_lib.param_spec(jax.tree_util.keystr(path))
+        sizes = dict(mesh.shape)
+        shape = getattr(leaf, 'shape', ())
+        for dim, axis in enumerate(spec):
+            if axis is not None and (dim >= len(shape)
+                                     or shape[dim] % sizes[axis]):
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """Places a TrainState on the mesh per the sharding rules."""
+    return jax.device_put(state, _tree_shardings(mesh, state))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Shards every batch leaf over the data axis."""
+    return jax.device_put(
+        batch, jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(mesh_lib.DATA_AXIS)), batch))
+
+
+def make_train_step(model, tx, mesh: Mesh, state: TrainState,
+                    num_classes: int = 1000, label_smoothing: float = 0.0,
+                    donate: bool = True):
+    """Builds the jitted train step with explicit in/out shardings."""
+    step = functools.partial(train_step, model=model, tx=tx,
+                             num_classes=num_classes,
+                             label_smoothing=label_smoothing)
+    state_sh = _tree_shardings(mesh, state)
+    batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, batch_sh, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Mesh, state: TrainState,
+                   num_classes: int = 1000):
+    step = functools.partial(eval_step, model=model, num_classes=num_classes)
+    state_sh = _tree_shardings(mesh, state)
+    batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step, in_shardings=(state_sh, batch_sh),
+                   out_shardings=repl)

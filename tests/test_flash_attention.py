@@ -1,0 +1,77 @@
+"""Flash-attention kernel vs jnp reference: forward and gradients.
+
+Runs the Pallas kernels in interpreter mode on CPU (the same code path
+compiles with Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sav_tpu.ops import attention as attention_ops
+from sav_tpu.ops import flash_attention
+
+
+def make_qkv(q_len, kv_len, heads, dim, batch=2, seed=0, dtype=jnp.float32):
+    rngs = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(rngs[0], (batch, q_len, heads, dim), dtype)
+    k = jax.random.normal(rngs[1], (batch, kv_len, heads, dim), dtype)
+    v = jax.random.normal(rngs[2], (batch, kv_len, heads, dim), dtype)
+    return q, k, v
+
+
+def reference(q, k, v):
+    return attention_ops.multi_head_attention(q, k, v, use_kernel=False)
+
+
+def kernel(q, k, v):
+    return attention_ops.multi_head_attention(q, k, v, use_kernel=True)
+
+
+@pytest.mark.parametrize('q_len,kv_len,heads,dim', [
+    (197, 197, 4, 64),     # ViT-ish: non-multiple-of-128 seq
+    (128, 128, 2, 32),     # exact block fit
+    (256, 640, 2, 64),     # cross-attention, ragged kv
+])
+def test_forward_matches_reference(q_len, kv_len, heads, dim):
+    q, k, v = make_qkv(q_len, kv_len, heads, dim)
+    with jax.default_matmul_precision('highest'):
+        got = np.asarray(kernel(q, k, v))
+        want = np.asarray(reference(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_supported_predicate():
+    q, k, v = make_qkv(197, 197, 4, 64)
+    assert flash_attention.supported(q, k, v)
+    assert not flash_attention.supported(q, k, v, dropout_rate=0.1)
+    assert not flash_attention.supported(q, k, v, bias=jnp.zeros(()))
+    short_q = q[:, :8]
+    assert not flash_attention.supported(short_q, k, v)  # class-attn query
+
+
+def test_gradients_match_reference():
+    q, k, v = make_qkv(197, 197, 2, 64, batch=1)
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v)
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    with jax.default_matmul_precision('highest'):
+        g_ref = jax.grad(lambda *a: loss(reference, *a), argnums=(0, 1, 2))(
+            q, k, v)
+        g_ker = jax.grad(lambda *a: loss(kernel, *a), argnums=(0, 1, 2))(
+            q, k, v)
+    for a, b, name in zip(g_ker, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4,
+                                   err_msg=f'd{name} mismatch')
+
+
+def test_bf16_forward_close():
+    q, k, v = make_qkv(128, 128, 2, 64, dtype=jnp.bfloat16)
+    out_k = kernel(q, k, v).astype(jnp.float32)
+    out_r = reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                      v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=2e-2, rtol=2e-2)

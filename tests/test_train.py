@@ -1,0 +1,173 @@
+"""Trainer tier: sharded train step on the 8-device CPU mesh, optimizer
+semantics, determinism, eval masking, checkpoint save/restore."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sav_tpu.data.synthetic import SyntheticDataset
+from sav_tpu.models import create_model
+from sav_tpu.parallel.mesh import create_mesh
+from sav_tpu.train import steps as steps_lib
+from sav_tpu.train.state import (TrainState, build_optimizer,
+                                 warmup_cosine_schedule)
+
+NUM_CLASSES = 8
+IMG = 32
+
+
+def tiny_setup(model_parallelism=1, model_name=None, dtype=jnp.float32):
+    mesh = create_mesh(model_parallelism=model_parallelism)
+    if model_name:
+        model = create_model(model_name, num_classes=NUM_CLASSES, dtype=dtype)
+    else:
+        from sav_tpu.models import ViT
+        model = ViT(num_classes=NUM_CLASSES, num_layers=2, num_heads=4,
+                    embed_dim=64, patch_shape=(16, 16), dtype=dtype)
+    tx = build_optimizer(1e-3, weight_decay=1e-4, clip_grad=1.0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    state = TrainState.create(variables, tx)
+    state = steps_lib.shard_state(mesh, state)
+    return mesh, model, tx, state
+
+
+def test_train_step_runs_and_descends():
+    mesh, model, tx, state = tiny_setup()
+    data = SyntheticDataset(16, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        label_smoothing=0.1)
+    rng = jax.random.PRNGKey(0)
+    batch = data.batch(0)
+    losses = []
+    for _ in range(10):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics['loss']))
+    assert int(jax.device_get(state.step)) == 10
+    # same batch repeatedly -> loss must drop (descent, not ascent: the
+    # reference's schedule sign bug would fail this)
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_deterministic():
+    mesh, model, tx, state = tiny_setup()
+    data = SyntheticDataset(16, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES)
+    rng = jax.random.PRNGKey(0)
+
+    def run():
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.ones((1, IMG, IMG, 3)),
+                               is_training=False)
+        s = steps_lib.shard_state(mesh, TrainState.create(variables, tx))
+        out = []
+        for i in range(3):
+            s, m = step_fn(s, data.batch(i), rng)
+            out.append(float(m['loss']))
+        return out
+
+    assert run() == run()
+
+
+def test_tensor_parallel_matches_data_parallel():
+    """Same math under (8,1) and (4,2) meshes — GSPMD TP correctness."""
+    losses = {}
+    for mp in (1, 2):
+        mesh, model, tx, state = tiny_setup(model_parallelism=mp)
+        data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+        step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                            num_classes=NUM_CLASSES)
+        rng = jax.random.PRNGKey(0)
+        ls = []
+        for i in range(3):
+            state, m = step_fn(state, data.batch(i), rng)
+            ls.append(float(m['loss']))
+        losses[mp] = ls
+    np.testing.assert_allclose(losses[1], losses[2], rtol=2e-3)
+
+
+def test_mixup_batch_schema():
+    mesh, model, tx, state = tiny_setup()
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        label_smoothing=0.1)
+    batch = {
+        'images': jnp.ones((16, IMG, IMG, 3)),
+        'labels': jnp.zeros((16,), jnp.int32),
+        'mix_labels': jnp.ones((16,), jnp.int32),
+        'ratio': jnp.full((16,), 0.7),
+    }
+    batch = steps_lib.shard_batch(mesh, batch)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))
+
+
+def test_eval_step_mask():
+    mesh, model, tx, state = tiny_setup()
+    eval_fn = steps_lib.make_eval_step(model, mesh, state,
+                                       num_classes=NUM_CLASSES)
+    batch = {
+        'images': jnp.ones((16, IMG, IMG, 3)),
+        'labels': jnp.zeros((16,), jnp.int32),
+        'mask': jnp.concatenate([jnp.ones(8), jnp.zeros(8)]),
+    }
+    batch = steps_lib.shard_batch(mesh, batch)
+    sums = jax.device_get(eval_fn(state, batch))
+    assert float(sums['eval_count']) == 8.0
+
+
+def test_optimizer_sign_and_decay():
+    """Positive loss gradient must reduce the parameter (descent)."""
+    tx = build_optimizer(0.1, weight_decay=0.0)
+    params = {'w': jnp.ones(())}
+    opt_state = tx.init(params)
+    grads = {'w': jnp.ones(())}
+    import optax
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(optax.apply_updates(params, updates)['w']) < 1.0
+
+
+def test_warmup_cosine_schedule_shape():
+    sched = warmup_cosine_schedule(5e-4, batch_size=512, steps_per_epoch=100)
+    assert float(sched(0)) == 0.0
+    peak = float(sched(500))  # end of 5-epoch warmup
+    assert peak == pytest.approx(5e-4, rel=1e-3)
+    assert float(sched(3000)) < peak  # decayed
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sav_tpu.train.checkpoint import CheckpointManager
+    mesh, model, tx, state = tiny_setup()
+    data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES)
+    state, _ = step_fn(state, data.batch(0), jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(os.fspath(tmp_path / 'ckpt'))
+    mgr.save(1, state)
+    mgr.wait()
+    assert mgr.latest_step() == 1
+
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    fresh = steps_lib.shard_state(mesh, TrainState.create(variables, tx))
+    restored = mgr.restore(fresh)
+    mgr.close()
+
+    assert int(jax.device_get(restored.step)) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

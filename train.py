@@ -1,0 +1,95 @@
+"""Training entry point, CLI-compatible with the reference trainer.
+
+Same flags as reference train.py:130-190 (data_dir, img_size, num_epochs,
+batch_size, label_smoothing, augmentation, model_name, lr, weight_decay,
+clip_grad, checkpoint_dir, seed) plus TPU-native extensions (dtype, mesh
+model-parallelism, total-steps override, synthetic dataset for smoke runs).
+
+Example:
+    python train.py --data_dir synthetic -m vit_b_patch16 -c /tmp/ckpts \
+        -b 256 --total_steps 100
+"""
+
+import click
+
+try:
+    from click_option_group import optgroup
+except ImportError:  # flat flags when click_option_group isn't installed
+    class _OptGroup:
+        def group(self, *args, **kwargs):
+            return lambda f: f
+
+        def option(self, *args, **kwargs):
+            return click.option(*args, **kwargs)
+
+    optgroup = _OptGroup()
+
+from sav_tpu.train import TrainConfig, Trainer
+
+
+@click.command()
+@optgroup.group('Dataset configuration')
+@optgroup.option('--data_dir', type=str, required=True,
+                 help="dataset directory, or 'synthetic'")
+@optgroup.group('Training configuration')
+@optgroup.option('-s', '--img_size', type=int, default=224,
+                 help='image size (default: 224)')
+@optgroup.option('-e', '--num_epochs', type=int, default=300,
+                 help='training epochs (default: 300)')
+@optgroup.option('-b', '--batch_size', type=int, default=32,
+                 help='global batch size (default: 32)')
+@optgroup.option('--label_smoothing', type=float, default=0.1,
+                 help='label smoothing alpha (default: 0.1)')
+@optgroup.group('Data augmentation configuration')
+@optgroup.option('--augmentation', type=str,
+                 default='cutmix_mixup_randaugment_405',
+                 help='augmentation strategy')
+@optgroup.group('Model configuration')
+@optgroup.option('-m', '--model_name', type=str, required=True,
+                 help='model name (see sav_tpu.available_models())')
+@optgroup.group('Optimizer and schedule configuration')
+@optgroup.option('-l', '--lr', type=float, default=5e-4,
+                 help='base learning rate (default: 5e-4)')
+@optgroup.option('--weight_decay', type=float, default=1e-4,
+                 help='weight decay (default: 1e-4)')
+@optgroup.option('--clip_grad', type=float, default=None,
+                 help='global-norm gradient clip (default: off)')
+@optgroup.group('Miscellaneous')
+@optgroup.option('-c', '--checkpoint_dir', type=str, required=True,
+                 help='checkpoint directory')
+@optgroup.option('--seed', type=int, default=42, help='PRNG seed')
+@optgroup.group('TPU-native extensions')
+@optgroup.option('--dtype', type=str, default='bfloat16',
+                 help='model compute dtype')
+@optgroup.option('--model_parallelism', type=int, default=1,
+                 help='tensor-parallel mesh axis size')
+@optgroup.option('--total_steps', type=int, default=None,
+                 help='override total step count (smoke tests)')
+@optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
+def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
+         augmentation, model_name, lr, weight_decay, clip_grad,
+         checkpoint_dir, seed, dtype, model_parallelism, total_steps,
+         use_wandb):
+    config = TrainConfig(
+        model_name=model_name,
+        img_size=img_size,
+        num_epochs=num_epochs,
+        batch_size=batch_size,
+        label_smoothing=label_smoothing,
+        augmentation=augmentation,
+        lr=lr,
+        weight_decay=weight_decay,
+        clip_grad=clip_grad,
+        checkpoint_dir=checkpoint_dir,
+        seed=seed,
+        dtype=dtype,
+        dataset='synthetic' if data_dir == 'synthetic' else data_dir,
+        model_parallelism=model_parallelism,
+        total_steps=total_steps,
+    )
+    metrics = Trainer(config, use_wandb=use_wandb).run()
+    click.echo(f'final metrics: {metrics}')
+
+
+if __name__ == '__main__':
+    main()
