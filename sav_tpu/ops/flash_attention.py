@@ -2,21 +2,28 @@
 
 Replaces the reference's materialized ``[B, h, Lq, Lkv]`` attention tensor
 (reference: models/layers/attentions/attention.py:41-58 — O(L^2) HBM traffic
-per layer) with an online-softmax kernel: logits never leave VMEM, softmax
-statistics are carried in f32 scratch across key blocks, and the backward
-pass recomputes probabilities FlashAttention-2 style from saved logsumexp
-rows instead of storing them.
+per layer) with an online-softmax kernel: logits never leave VMEM and the
+backward pass recomputes probabilities FlashAttention-2 style from saved
+logsumexp rows.
 
-Layout: the wrapper takes ``[..., L, heads, d]`` (the layer-library
-convention), folds batch*heads into one grid axis, pads L to the block size
-and d to the 128-lane width, and unpads on the way out. Key-side padding is
-masked with -inf inside the kernel; query-side padding rows are garbage that
-gets sliced off.
-
-Grid is (batch*heads, q_blocks, k_blocks) with the k axis innermost: the
-accumulator/stat scratch persists across sequential k steps on the same
-core, initialized at k==0 and finalized (acc / l, lse written) at the last
-k block. Matmuls accumulate in f32 via ``preferred_element_type``.
+Performance-shaping decisions (measured on v5e):
+  * All heads are folded into each grid program (a ``fori_loop`` over the
+    head axis inside the kernel). A per-(batch, head) grid moved only 32 KB
+    per buffer per program — 1536 programs at ~3 us each, 44 GB/s effective
+    HBM bandwidth. Folding heads makes every DMA ~12x larger and cuts the
+    program count to the batch size.
+  * Kernels run on a (batch, q, k) grid over ``[B, h, L, d]`` arrays (one
+    fused transpose+pad from the layer library's ``[B, L, h, d]``; Mosaic
+    requires the blocked L/d axes to be the two minor ones).
+  * head_dim is NOT padded to 128 lanes (d=64 across this zoo); padding
+    doubled every operand's footprint and made the kernel path a net loss.
+  * Only the sequence axis is padded (to the block size); key-side padding
+    is masked with -inf, query-side padding rows are sliced off outside.
+  * Row statistics (lse) live in 8-lane HBM arrays; the backward
+    delta = rowsum(o * do) is computed in-kernel from the saved output.
+  * When the whole kv sequence fits one k block (every ViT/CaiT/TNT-outer
+    shape at 224px), the online-softmax carry is skipped entirely — one
+    softmax per head, no rescaling, no carry scratch.
 """
 
 from __future__ import annotations
@@ -30,21 +37,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-LANES = 128
+STAT_LANES = 8          # lse lane width in HBM (8 keeps the array small)
+STAT_SCRATCH = 128      # m/l carry lane width in VMEM scratch
 
 
 def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
-def _block_sizes(q_len: int, kv_len: int):
-    block_q = min(256, max(LANES, _round_up(q_len, LANES)))
-    block_k = min(512, max(LANES, _round_up(kv_len, LANES)))
-    return block_q, block_k
-
-
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _block_sizes(q_len: int, kv_len: int, heads: int, d: int):
+    """Pick L-axis block sizes, bounded so head-folded buffers fit VMEM."""
+    block_q = min(512, _round_up(q_len, 128))
+    block_k = min(1024, _round_up(kv_len, 128))
+    # rough VMEM bound: double-buffered q/k/v/out blocks + one f32 s tile
+    def footprint(bq, bk):
+        blocks = heads * (2 * bq + 2 * bk) * d * 2 * 2
+        s_tile = bq * bk * 4
+        return blocks + s_tile
+    while footprint(block_q, block_k) > 10 * 1024 * 1024 and block_k > 128:
+        block_k //= 2
+    while footprint(block_q, block_k) > 10 * 1024 * 1024 and block_q > 128:
+        block_q //= 2
+    return block_q, block_k
 
 
 def supported(query, key, value, *, bias=None, pre_softmax_transform=None,
@@ -57,6 +75,17 @@ def supported(query, key, value, *, bias=None, pre_softmax_transform=None,
     """
     if jax.default_backend() != 'tpu':
         return False
+    return shape_supported(
+        query, key, value, bias=bias,
+        pre_softmax_transform=pre_softmax_transform,
+        post_softmax_transform=post_softmax_transform,
+        dropout_rate=dropout_rate)
+
+
+def shape_supported(query, key, value, *, bias=None,
+                    pre_softmax_transform=None, post_softmax_transform=None,
+                    dropout_rate=0.0) -> bool:
+    """Backend-independent part of the dispatch predicate."""
     if pre_softmax_transform is not None or post_softmax_transform is not None:
         return False           # talking heads: jnp path (CaiT) for now
     if bias is not None:
@@ -66,7 +95,7 @@ def supported(query, key, value, *, bias=None, pre_softmax_transform=None,
     if query.ndim != 4 or key.ndim != 4:
         return False
     q_len, heads, head_dim = query.shape[-3], query.shape[-2], query.shape[-1]
-    if head_dim < 16 or head_dim > 256:
+    if head_dim % 8 != 0 or head_dim > 256:
         return False
     if q_len < 64:             # 1-query class attention etc: jnp is better
         return False
@@ -75,83 +104,128 @@ def supported(query, key, value, *, bias=None, pre_softmax_transform=None,
     return True
 
 
+def _mask_padding(s, ki, block_k, kv_len):
+    """-inf on key columns beyond the true sequence length (static check)."""
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    return s
+
+
+def _qk(q, k):
+    return jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _matmul(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _matmul_tn(a, b):
+    """a^T @ b with f32 accumulation."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, kv_len: int, block_k: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref,
+                l_ref, *, kv_len: int, block_k: int, heads: int):
     ki = pl.program_id(2)
     num_k = pl.num_programs(2)
+    single = num_k == 1
 
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+    if not single:
+        @pl.when(ki == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]                       # [block_q, d]
-    k = k_ref[0]                       # [block_k, d]
-    v = v_ref[0]
+    def per_head(h, carry):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = _mask_padding(_qk(q, k), ki, block_k, kv_len)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # [block_q, block_k]
+        if single:
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            out_ref[0, h] = (_matmul(p.astype(v.dtype), v)
+                             / l).astype(out_ref.dtype)
+            lse_ref[0, h] = jnp.broadcast_to(m + jnp.log(l),
+                                             lse_ref.shape[2:])
+            return carry
 
-    # mask out key-side padding in the (only possibly ragged) last block
-    first_key = ki * block_k
-    if kv_len % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + first_key
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        m_prev = m_ref[h, :, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
 
-    m_prev = m_ref[:, :1]                           # [block_q, 1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+        l_new = alpha * l_ref[h, :, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[h] = acc_ref[h] * alpha + _matmul(p.astype(v.dtype), v)
+        m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+        l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
 
-    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        @pl.when(ki == num_k - 1)
+        def _finalize():
+            l = l_ref[h, :, :1]
+            out_ref[0, h] = (acc_ref[h] / l).astype(out_ref.dtype)
+            lse_ref[0, h] = jnp.broadcast_to(
+                m_new + jnp.log(jnp.maximum(l, 1e-37)), lse_ref.shape[2:])
 
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return carry
 
-    @pl.when(ki == num_k - 1)
-    def _finalize():
-        l = l_ref[:, :1]
-        out_ref[0] = (acc_ref[:] / l).astype(out_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-37)))
+    jax.lax.fori_loop(0, heads, per_head, 0)
+
+
+def _specs(block_q, block_k, heads, d, swap_qk_grid=False):
+    if swap_qk_grid:      # grid is (b, ki, qi)
+        qi_of = lambda b, x, y: (b, 0, y, 0)
+        ki_of = lambda b, x, y: (b, 0, x, 0)
+    else:                 # grid is (b, qi, ki)
+        qi_of = lambda b, x, y: (b, 0, x, 0)
+        ki_of = lambda b, x, y: (b, 0, y, 0)
+    q_spec = pl.BlockSpec((1, heads, block_q, d), qi_of,
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, heads, block_k, d), ki_of,
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, heads, block_q, STAT_LANES), qi_of,
+                            memory_space=pltpu.VMEM)
+    return q_spec, kv_spec, lse_spec
 
 
 def _fwd(q, k, v, *, block_q: int, block_k: int, kv_len: int):
-    """q,k,v: [BH, Lq_pad, d_pad] (q pre-scaled). Returns (out, lse)."""
-    bh, q_len_pad, d = q.shape
-    kv_len_pad = k.shape[1]
-    grid = (bh, q_len_pad // block_q, kv_len_pad // block_k)
+    """q/k/v: [B, H, L_pad, d] (q pre-scaled). Returns (out, lse)."""
+    batch, heads, q_len_pad, d = q.shape
+    kv_len_pad = k.shape[2]
+    grid = (batch, q_len_pad // block_q, kv_len_pad // block_k)
+    multi = kv_len_pad // block_k > 1
 
-    kernel = functools.partial(_fwd_kernel, kv_len=kv_len, block_k=block_k)
+    q_spec, kv_spec, lse_spec = _specs(block_q, block_k, heads, d)
     out, lse = pl.pallas_call(
-        kernel,
+        functools.partial(_fwd_kernel, kv_len=kv_len, block_k=block_k,
+                          heads=heads),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, LANES), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, lse_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, q_len_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, q_len_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, q_len_pad, STAT_LANES),
+                                 jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((heads, block_q, d) if multi else (1, 8, 128),
+                       jnp.float32),
+            pltpu.VMEM((heads, block_q, STAT_SCRATCH) if multi
+                       else (1, 8, 128), jnp.float32),
+            pltpu.VMEM((heads, block_q, STAT_SCRATCH) if multi
+                       else (1, 8, 128), jnp.float32),
         ],
         interpret=_interpret(),
     )(q, k, v)
@@ -159,129 +233,138 @@ def _fwd(q, k, v, *, block_q: int, block_k: int, kv_len: int):
 
 
 # ---------------------------------------------------------------------------
-# Backward kernels
+# Backward
 # ---------------------------------------------------------------------------
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               acc_ref, *, kv_len: int, block_k: int):
+def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
+               acc_ref, *, kv_len: int, block_k: int, heads: int):
     ki = pl.program_id(2)
     num_k = pl.num_programs(2)
+    single = num_k == 1
 
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    if not single:
+        @pl.when(ki == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    def per_head(h, carry):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        o = o_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
+        lse = lse_ref[0, h][:, :1]
+        delta = jnp.sum(o * do, axis=-1, keepdims=True)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if kv_len % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse)
+        s = _mask_padding(_qk(q, k), ki, block_k, kv_len)
+        p = jnp.exp(s - lse)
+        dp = _qk(do.astype(v.dtype), v)
+        ds = (p * (dp - delta)).astype(k.dtype)
 
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
-    acc_ref[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        if single:
+            dq_ref[0, h] = _matmul(ds, k).astype(dq_ref.dtype)
+        else:
+            acc_ref[h] += _matmul(ds, k)
 
-    @pl.when(ki == num_k - 1)
-    def _finalize():
-        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+            @pl.when(ki == num_k - 1)
+            def _finalize():
+                dq_ref[0, h] = acc_ref[h].astype(dq_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, heads, per_head, 0)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, kv_len: int,
-                block_k: int):
+def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref,
+                dv_ref, dk_acc, dv_acc, *, kv_len: int, block_k: int,
+                heads: int):
     qi = pl.program_id(2)
     num_q = pl.num_programs(2)
+    single = num_q == 1
+    ki = pl.program_id(1)
 
-    @pl.when(qi == 0)
-    def _init():
-        dk_acc[:] = jnp.zeros_like(dk_acc)
-        dv_acc[:] = jnp.zeros_like(dv_acc)
+    if not single:
+        @pl.when(qi == 0)
+        def _init():
+            dk_acc[:] = jnp.zeros_like(dk_acc)
+            dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    def per_head(h, carry):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        o = o_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
+        lse = lse_ref[0, h][:, :1]
+        delta = jnp.sum(o * do, axis=-1, keepdims=True)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if kv_len % block_k != 0:
-        ki = pl.program_id(1)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse)                             # [block_q, block_k]
+        s = _mask_padding(_qk(q, k), ki, block_k, kv_len)
+        p = jnp.exp(s - lse)
 
-    dv_acc[:] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [block_k, d]
+        dob = do.astype(v.dtype)
+        dv_new = _matmul_tn(p.astype(dob.dtype), dob)
+        dp = _qk(dob, v)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk_new = _matmul_tn(ds, q)
 
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)                            # [block_q, block_k]
-    dk_acc[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [block_k, d]
+        if single:
+            dk_ref[0, h] = dk_new.astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_new.astype(dv_ref.dtype)
+        else:
+            dk_acc[h] += dk_new
+            dv_acc[h] += dv_new
 
-    @pl.when(qi == num_q - 1)
-    def _finalize():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+            @pl.when(qi == num_q - 1)
+            def _finalize():
+                dk_ref[0, h] = dk_acc[h].astype(dk_ref.dtype)
+                dv_ref[0, h] = dv_acc[h].astype(dv_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, heads, per_head, 0)
 
 
 def _bwd(q, k, v, out, lse, do, *, block_q: int, block_k: int, kv_len: int):
-    bh, q_len_pad, d = q.shape
-    kv_len_pad = k.shape[1]
+    batch, heads, q_len_pad, d = q.shape
+    kv_len_pad = k.shape[2]
+    num_q = q_len_pad // block_q
+    num_k = kv_len_pad // block_k
 
-    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32),
-                    axis=-1, keepdims=True)              # [BH, Lq, 1]
-    delta = jnp.broadcast_to(delta, (bh, q_len_pad, LANES))
-
-    q_spec = pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, block_q, LANES),
-                            lambda b, qi, ki: (b, qi, 0),
-                            memory_space=pltpu.VMEM)
-
+    q_spec, kv_spec, lse_spec = _specs(block_q, block_k, heads, d)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, kv_len=kv_len, block_k=block_k),
-        grid=(bh, q_len_pad // block_q, kv_len_pad // block_k),
-        in_specs=[q_spec, k_spec, k_spec, q_spec, row_spec, row_spec],
+        functools.partial(_dq_kernel, kv_len=kv_len, block_k=block_k,
+                          heads=heads),
+        grid=(batch, num_q, num_k),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((heads, block_q, d) if num_k > 1 else (1, 8, 128),
+                       jnp.float32)],
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, out, do, lse)
 
-    # dk/dv: grid loops queries innermost for each key block
-    q_spec2 = pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0), memory_space=pltpu.VMEM)
-    k_spec2 = pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0), memory_space=pltpu.VMEM)
-    row_spec2 = pl.BlockSpec((1, block_q, LANES),
-                             lambda b, ki, qi: (b, qi, 0),
-                             memory_space=pltpu.VMEM)
+    # dk/dv: queries iterate innermost for each key block
+    q_spec2, kv_spec2, lse_spec2 = _specs(block_q, block_k, heads, d,
+                                          swap_qk_grid=True)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, kv_len=kv_len, block_k=block_k),
-        grid=(bh, kv_len_pad // block_k, q_len_pad // block_q),
-        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2],
-        out_specs=[k_spec2, k_spec2],
+        functools.partial(_dkv_kernel, kv_len=kv_len, block_k=block_k,
+                          heads=heads),
+        grid=(batch, num_k, num_q),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, lse_spec2],
+        out_specs=[kv_spec2, kv_spec2],
         out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
-        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
-                        pltpu.VMEM((block_k, d), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((heads, block_k, d) if num_q > 1 else (1, 8, 128),
+                       jnp.float32),
+            pltpu.VMEM((heads, block_k, d) if num_q > 1 else (1, 8, 128),
+                       jnp.float32)],
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, out, do, lse)
     return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
-# Public wrapper (custom VJP over padded [BH, L, d] layout)
+# Custom-VJP wrapper over the padded [B, H, L_pad, d] layout
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -298,8 +381,8 @@ def _flash_fwd(q, k, v, block_q, block_k, q_len, kv_len):
 def _flash_bwd(block_q, block_k, q_len, kv_len, residuals, do):
     q, k, v, out, lse = residuals
     # zero the cotangent on query-padding rows so they don't pollute dk/dv
-    if q.shape[1] != q_len:
-        row = jnp.arange(q.shape[1])[None, :, None]
+    if q.shape[2] != q_len:
+        row = jnp.arange(q.shape[2])[None, None, :, None]
         do = jnp.where(row < q_len, do, 0)
     dq, dk, dv = _bwd(q, k, v, out, lse, do, block_q=block_q,
                       block_k=block_k, kv_len=kv_len)
@@ -311,35 +394,32 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def mha(query, key, value, *, bias: Optional[jax.Array] = None,
         pre_softmax_transform=None, post_softmax_transform=None):
-    """Fused attention on ``[..., L, heads, d]`` (query pre-scaled).
+    """Fused attention on ``[B, L, heads, d]`` (query pre-scaled).
 
-    Returns ``[..., Lq, heads, d]``, matching the jnp path in
+    Returns ``[B, Lq, heads, d]``, matching the jnp path in
     ``sav_tpu.ops.attention.multi_head_attention``.
     """
     assert bias is None and pre_softmax_transform is None \
         and post_softmax_transform is None, 'unsupported in kernel path'
 
-    *batch_dims, q_len, heads, head_dim = query.shape
+    q_len, heads, d = query.shape[-3], query.shape[-2], query.shape[-1]
     kv_len = key.shape[-3]
-
-    def fold(x, length):
-        x = jnp.moveaxis(x, -2, -3)                 # [..., heads, L, d]
-        return x.reshape((-1, length, head_dim))
-
-    q = fold(query, q_len)
-    k = fold(key, kv_len)
-    v = fold(value, kv_len)
-
-    block_q, block_k = _block_sizes(q_len, kv_len)
+    block_q, block_k = _block_sizes(q_len, kv_len, heads, d)
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
-    d_pad = _round_up(head_dim, LANES)
 
-    q = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, d_pad - head_dim)))
-    k = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, d_pad - head_dim)))
-    v = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, d_pad - head_dim)))
+    # [B, L, h, d] -> [B, h, L, d]: heads leave the tiled minor dims so
+    # blocks can select the full head stack; XLA fuses this with the pad.
+    query = jnp.moveaxis(query, -2, -3)
+    key = jnp.moveaxis(key, -2, -3)
+    value = jnp.moveaxis(value, -2, -3)
 
-    out = _flash(q, k, v, block_q, block_k, q_len, kv_len)
-    out = out[:, :q_len, :head_dim]
-    out = out.reshape((*batch_dims, heads, q_len, head_dim))
-    return jnp.moveaxis(out, -3, -2)
+    if q_pad != q_len:
+        query = jnp.pad(query, ((0, 0), (0, 0), (0, q_pad - q_len), (0, 0)))
+    if kv_pad != kv_len:
+        pad = ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, 0))
+        key = jnp.pad(key, pad)
+        value = jnp.pad(value, pad)
+
+    out = _flash(query, key, value, block_q, block_k, q_len, kv_len)
+    return jnp.moveaxis(out[:, :, :q_len], -3, -2)

@@ -29,9 +29,10 @@ def kernel(q, k, v):
 
 
 @pytest.mark.parametrize('q_len,kv_len,heads,dim', [
-    (197, 197, 4, 64),     # ViT-ish: non-multiple-of-128 seq
+    (197, 197, 4, 64),     # ViT-ish: non-multiple-of-128 seq, single block
     (128, 128, 2, 32),     # exact block fit
-    (256, 640, 2, 64),     # cross-attention, ragged kv
+    (256, 640, 2, 64),     # cross-attention, ragged kv single block
+    (640, 1400, 2, 64),    # multi q- and k-block online-softmax path
 ])
 def test_forward_matches_reference(q_len, kv_len, heads, dim):
     q, k, v = make_qkv(q_len, kv_len, heads, dim)
@@ -43,15 +44,24 @@ def test_forward_matches_reference(q_len, kv_len, heads, dim):
 
 def test_supported_predicate():
     q, k, v = make_qkv(197, 197, 4, 64)
-    assert flash_attention.supported(q, k, v)
-    assert not flash_attention.supported(q, k, v, dropout_rate=0.1)
-    assert not flash_attention.supported(q, k, v, bias=jnp.zeros(()))
+    assert flash_attention.shape_supported(q, k, v)
+    assert not flash_attention.shape_supported(q, k, v, dropout_rate=0.1)
+    assert not flash_attention.shape_supported(q, k, v,
+                                               bias=jnp.zeros(()))
     short_q = q[:, :8]
-    assert not flash_attention.supported(short_q, k, v)  # class-attn query
+    # 1-query class attention stays on the jnp path
+    assert not flash_attention.shape_supported(short_q, k, v)
+    # auto dispatch never engages off-TPU
+    if jax.default_backend() != 'tpu':
+        assert not flash_attention.supported(q, k, v)
 
 
-def test_gradients_match_reference():
-    q, k, v = make_qkv(197, 197, 2, 64, batch=1)
+@pytest.mark.parametrize('q_len,kv_len', [
+    (197, 197),            # single-block fast path
+    (640, 1400),           # multi-block accumulation path
+])
+def test_gradients_match_reference(q_len, kv_len):
+    q, k, v = make_qkv(q_len, kv_len, 2, 64, batch=1)
 
     def loss(fn, q, k, v):
         out = fn(q, k, v)
