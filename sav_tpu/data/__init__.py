@@ -1,4 +1,4 @@
-from sav_tpu.data import constants, image_ops, mix, preprocess
+from sav_tpu.data import color, constants, image_ops, mix, preprocess
 from sav_tpu.data.pipeline import (AugmentConfig, AugmentedArrayDataset,
                                    create_dataset, make_train_augment_fn,
                                    parse_augment_name)

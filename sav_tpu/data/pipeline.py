@@ -23,6 +23,7 @@ and magnitude-std s from the trailing digits 'mss'.
 from __future__ import annotations
 
 import dataclasses
+import os
 import re
 from typing import Optional
 
@@ -177,12 +178,20 @@ def create_dataset(name: str, batch_size: int, image_size: int,
         return AugmentedArrayDataset(images, labels, batch_size, image_size,
                                      augmentation=augmentation,
                                      training=training, seed=seed, mesh=mesh)
-    if name.endswith('.npz'):
+    if name.endswith('.npz') and '*' not in name:
         arrays = np.load(name)
         return AugmentedArrayDataset(arrays['images'], arrays['labels'],
                                      batch_size, image_size,
                                      augmentation=augmentation,
                                      training=training, seed=seed, mesh=mesh)
+    if name.endswith('.npz') or os.path.isdir(name):
+        from sav_tpu.data.grain_loader import GrainDataset
+        pattern = name if name.endswith('.npz') else os.path.join(
+            name, '*.npz')
+        return GrainDataset(pattern, batch_size, image_size,
+                            augmentation=augmentation, training=training,
+                            seed=seed, mesh=mesh)
     raise ValueError(
-        f'Unknown dataset {name!r}; use synthetic, synthetic_augmented, or '
-        f'an .npz path (TFDS-backed ImageNet requires tensorflow_datasets).')
+        f'Unknown dataset {name!r}; use synthetic, synthetic_augmented, an '
+        f'.npz path/glob, or a directory of .npz shards (TFDS-backed '
+        f'ImageNet requires tensorflow_datasets).')

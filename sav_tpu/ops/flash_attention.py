@@ -181,7 +181,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref,
 
         return carry
 
-    jax.lax.fori_loop(0, heads, per_head, 0)
+    if heads <= 16:
+        for h in range(heads):   # unrolled: independent chains pipeline
+            per_head(h, 0)
+    else:
+        jax.lax.fori_loop(0, heads, per_head, 0)
 
 
 def _specs(block_q, block_k, heads, d, swap_qk_grid=False):
@@ -271,7 +275,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
                 dq_ref[0, h] = acc_ref[h].astype(dq_ref.dtype)
         return carry
 
-    jax.lax.fori_loop(0, heads, per_head, 0)
+    if heads <= 16:
+        for h in range(heads):   # unrolled: independent chains pipeline
+            per_head(h, 0)
+    else:
+        jax.lax.fori_loop(0, heads, per_head, 0)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref,
@@ -319,7 +327,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref,
                 dv_ref[0, h] = dv_acc[h].astype(dv_ref.dtype)
         return carry
 
-    jax.lax.fori_loop(0, heads, per_head, 0)
+    if heads <= 16:
+        for h in range(heads):   # unrolled: independent chains pipeline
+            per_head(h, 0)
+    else:
+        jax.lax.fori_loop(0, heads, per_head, 0)
 
 
 def _bwd(q, k, v, out, lse, do, *, block_q: int, block_k: int, kv_len: int):
