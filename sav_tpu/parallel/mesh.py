@@ -21,13 +21,31 @@ DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
 
-def create_mesh(devices=None, model_parallelism: int = 1) -> Mesh:
+def create_mesh(devices=None, model_parallelism: int = 1,
+                hybrid: bool = False) -> Mesh:
     """Builds a ('data', 'model') mesh over the given (or all) devices.
 
     ``model_parallelism=1`` is pure data parallelism — the reference's only
     strategy. The model axis is placed innermost so tensor-parallel
     collectives ride the fastest ICI links.
+
+    With ``hybrid=True`` on a multi-process (multi-slice) run, the data
+    axis is laid out DCN-major via ``create_hybrid_device_mesh`` so the
+    gradient all-reduce decomposes into intra-slice ICI reductions plus a
+    small cross-slice DCN exchange.
     """
+    if hybrid and devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+        per_slice = jax.local_device_count()
+        if per_slice % model_parallelism:
+            raise ValueError(
+                f'{per_slice} local devices not divisible by '
+                f'model_parallelism={model_parallelism}')
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_slice // model_parallelism, model_parallelism),
+            dcn_mesh_shape=(jax.process_count(), 1))
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
     devices = np.asarray(devices if devices is not None else jax.devices())
     if devices.size % model_parallelism:
         raise ValueError(
@@ -36,6 +54,21 @@ def create_mesh(devices=None, model_parallelism: int = 1) -> Mesh:
     grid = devices.reshape(devices.size // model_parallelism,
                            model_parallelism)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def maybe_initialize_distributed():
+    """Joins the multi-host JAX cluster when coordinator env vars exist.
+
+    The reference assumed an already-initialized pmap world and only gated
+    on process_index (train.py:102,124,195); here the runtime joins the
+    cluster itself. No-ops on single-host runs.
+    """
+    import os
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get('JAX_COORDINATOR_ADDRESS') or os.environ.get(
+            'COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

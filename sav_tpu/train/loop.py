@@ -20,7 +20,7 @@ from absl import logging
 
 from sav_tpu.data.synthetic import SyntheticDataset
 from sav_tpu.models import create_model
-from sav_tpu.parallel.mesh import create_mesh
+from sav_tpu.parallel.mesh import create_mesh, maybe_initialize_distributed
 from sav_tpu.train import steps as steps_lib
 from sav_tpu.train.checkpoint import CheckpointManager
 from sav_tpu.train.state import (TrainState, build_optimizer,
@@ -52,6 +52,7 @@ class TrainConfig:
     images_per_epoch: int = IMAGENET_TRAIN_IMAGES
     total_steps: Optional[int] = None       # overrides epoch math if set
     model_parallelism: int = 1
+    remat: bool = False                 # jax.checkpoint the forward pass
     log_every: int = 100
     eval_every_epochs: int = 5
     checkpoint_every_epochs: int = 10
@@ -98,8 +99,10 @@ class Trainer:
 
     def __init__(self, config: TrainConfig, use_wandb: bool = False):
         self.config = config
+        maybe_initialize_distributed()
         self.mesh = create_mesh(
-            model_parallelism=config.model_parallelism)
+            model_parallelism=config.model_parallelism,
+            hybrid=jax.process_count() > 1)
         self.model = create_model(config.model_name,
                                   num_classes=config.num_classes,
                                   dtype=jnp.dtype(config.dtype))
@@ -132,7 +135,8 @@ class Trainer:
         self.train_step = steps_lib.make_train_step(
             self.model, self.tx, self.mesh, state,
             num_classes=config.num_classes,
-            label_smoothing=config.label_smoothing)
+            label_smoothing=config.label_smoothing,
+            remat=config.remat)
         self.eval_step = steps_lib.make_eval_step(
             self.model, self.mesh, state, num_classes=config.num_classes)
 

@@ -47,19 +47,26 @@ def blended_targets(batch: Dict[str, jax.Array], num_classes: int,
 
 def train_step(state: TrainState, batch: Dict[str, jax.Array],
                rng: jax.Array, *, model, tx, num_classes: int,
-               label_smoothing: float):
+               label_smoothing: float, remat: bool = False):
     """One optimizer step; returns (new_state, metrics)."""
     step_rng = jax.random.fold_in(rng, state.step)
     rngs = {'dropout': jax.random.fold_in(step_rng, 0),
             'stochastic_depth': jax.random.fold_in(step_rng, 1)}
 
-    def loss_fn(params):
+    def forward(params, images):
         variables = {'params': params}
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
+        return model.apply(variables, images, is_training=True,
+                           rngs=rngs, mutable=['batch_stats'])
+
+    if remat:
+        # trade FLOPs for memory: recompute the forward during backprop
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params):
         images = batch['images'].astype(model.dtype)
-        logits, updates = model.apply(variables, images, is_training=True,
-                                      rngs=rngs, mutable=['batch_stats'])
+        logits, updates = forward(params, images)
         logits = logits.astype(jnp.float32)
         targets = blended_targets(batch, num_classes, label_smoothing)
         loss = jnp.mean(optax.softmax_cross_entropy(logits, targets))
@@ -128,11 +135,12 @@ def shard_batch(mesh: Mesh, batch):
 
 def make_train_step(model, tx, mesh: Mesh, state: TrainState,
                     num_classes: int = 1000, label_smoothing: float = 0.0,
-                    donate: bool = True):
+                    donate: bool = True, remat: bool = False):
     """Builds the jitted train step with explicit in/out shardings."""
     step = functools.partial(train_step, model=model, tx=tx,
                              num_classes=num_classes,
-                             label_smoothing=label_smoothing)
+                             label_smoothing=label_smoothing,
+                             remat=remat)
     state_sh = _tree_shardings(mesh, state)
     batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     repl = NamedSharding(mesh, P())
