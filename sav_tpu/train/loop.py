@@ -156,11 +156,16 @@ class Trainer:
     def evaluate(self, dataset, num_batches: int) -> Dict[str, float]:
         sums = None
         for step in range(num_batches):
-            batch = dataset.batch(step)
+            try:
+                batch = dataset.batch(step)
+            except StopIteration:   # finite eval sources end early
+                break
             out = self.eval_step(self.state, batch)
             out = jax.device_get(out)
             sums = out if sums is None else jax.tree_util.tree_map(
                 np.add, sums, out)
+        if sums is None:
+            return {}
         count = max(float(sums.pop('eval_count')), 1.0)
         return {k: float(v) / count for k, v in sums.items()}
 
