@@ -23,7 +23,7 @@ import optax
 
 MODEL_NAME = 'vit_b_patch16'
 IMG = 224
-SCAN_STEPS = 20
+SCAN_STEPS = 50
 
 
 def _batch(batch_size, seed=1):
@@ -103,10 +103,21 @@ def bench_reference(batch_size):
                                  is_training=True)
             y = optax.smooth_labels(
                 jax.nn.one_hot(batch['labels'], 1000), 0.1)
-            return jnp.mean(optax.softmax_cross_entropy(
+            loss = jnp.mean(optax.softmax_cross_entropy(
                 logits.astype(jnp.float32), y))
+            return loss, logits
 
-        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        (loss, logits), grads = jax.value_and_grad(loss_fn,
+                                                    has_aux=True)(variables)
+        # the reference computes top-1/5 inside its train step via a full
+        # argsort + per-row isin (reference: train.py:98, utils.py:20-37)
+        argsorted = jnp.argsort(logits)
+        for k_top in (1, 5):
+            pred = argsorted[..., -k_top:]
+            correct = jax.vmap(jnp.isin)(pred, batch['labels']).any(axis=-1)
+            # fold into the carried scalar at negligible weight so XLA
+            # cannot dead-code-eliminate the metric computation
+            loss = loss + 1e-30 * correct.astype(jnp.float32).mean()
         updates, new_opt = tx.update(grads, opt_state, variables)
         return (optax.apply_updates(variables, updates), new_opt), loss
 

@@ -30,7 +30,7 @@ def kernel(q, k, v):
 
 @pytest.mark.parametrize('q_len,kv_len,heads,dim', [
     (197, 197, 4, 64),     # ViT-ish: non-multiple-of-128 seq, single block
-    (128, 128, 2, 32),     # exact block fit
+    (128, 128, 2, 128),    # exact block fit, wide heads
     (256, 640, 2, 64),     # cross-attention, ragged kv single block
     (640, 1400, 2, 64),    # multi q- and k-block online-softmax path
 ])
