@@ -46,8 +46,22 @@ class EncoderBlock(nn.Module):
         return x + y
 
 
+class ScanEncoderBlock(EncoderBlock):
+    """EncoderBlock with a scan-compatible (carry, broadcast) signature."""
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        return super().__call__(inputs, is_training=is_training), None
+
+
 class Encoder(nn.Module):
-    """Position embedding + N encoder blocks + final LayerNorm."""
+    """Position embedding + N encoder blocks + final LayerNorm.
+
+    With ``scan_layers=True`` the blocks run under ``nn.scan``: compile time
+    becomes depth-independent and parameters carry a leading layer axis
+    (convert reference checkpoints with
+    ``sav_tpu.utils.stacking.stack_layer_params``).
+    """
 
     num_layers: int
     num_heads: int
@@ -57,21 +71,31 @@ class Encoder(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
         x = AddAbsPosEmbed()(inputs)
         x = nn.Dropout(rate=self.dropout_rate)(x,
                                                deterministic=not is_training)
-        for _ in range(self.num_layers):
-            x = EncoderBlock(num_heads=self.num_heads,
-                             expand_ratio=self.expand_ratio,
-                             attn_dropout_rate=self.attn_dropout_rate,
-                             dropout_rate=self.dropout_rate,
-                             activation_fn=self.activation_fn,
-                             dtype=self.dtype,
-                             use_kernel=self.use_kernel)(
-                                 x, is_training=is_training)
+        block_kwargs = dict(num_heads=self.num_heads,
+                            expand_ratio=self.expand_ratio,
+                            attn_dropout_rate=self.attn_dropout_rate,
+                            dropout_rate=self.dropout_rate,
+                            activation_fn=self.activation_fn,
+                            dtype=self.dtype,
+                            use_kernel=self.use_kernel)
+        if self.scan_layers:
+            scanned = nn.scan(ScanEncoderBlock,
+                              variable_axes={'params': 0},
+                              split_rngs={'params': True, 'dropout': True},
+                              in_axes=nn.broadcast,
+                              length=self.num_layers)
+            x, _ = scanned(name='EncoderBlock', **block_kwargs)(
+                x, is_training)
+        else:
+            for _ in range(self.num_layers):
+                x = EncoderBlock(**block_kwargs)(x, is_training=is_training)
         return nn.LayerNorm(dtype=self.dtype)(x)
 
 
@@ -89,6 +113,7 @@ class ViT(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -110,7 +135,8 @@ class ViT(nn.Module):
                     dropout_rate=self.dropout_rate,
                     activation_fn=self.activation_fn,
                     dtype=self.dtype,
-                    use_kernel=self.use_kernel)(x, is_training=is_training)
+                    use_kernel=self.use_kernel,
+                    scan_layers=self.scan_layers)(x, is_training=is_training)
 
         return nn.Dense(features=self.num_classes,
                         dtype=self.dtype,

@@ -1,0 +1,52 @@
+"""scan-over-layers: stacked param layout, logit equivalence, converters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sav_tpu.models import ViT
+from sav_tpu.utils.stacking import stack_layer_params, unstack_layer_params
+
+KW = dict(num_classes=10, num_layers=3, num_heads=4, embed_dim=64,
+          patch_shape=(16, 16))
+
+
+def test_scan_params_are_stacked():
+    model = ViT(**KW, scan_layers=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)),
+                           is_training=False)
+    block = variables['params']['Encoder_0']['EncoderBlock']
+    kernel = block['SelfAttentionBlock_0']['queries']['kernel']
+    assert kernel.shape[0] == 3   # leading layer axis
+
+
+def test_scan_matches_unrolled_with_converted_params():
+    unrolled = ViT(**KW, scan_layers=False)
+    scanned = ViT(**KW, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    variables = unrolled.init(jax.random.PRNGKey(0), x, is_training=False)
+    params = variables['params']
+    stacked = dict(params)
+    stacked['Encoder_0'] = stack_layer_params(params['Encoder_0'])
+
+    a = unrolled.apply({'params': params}, x, is_training=False)
+    b = scanned.apply({'params': stacked}, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=1e-5)
+
+    # roundtrip back to per-layer layout
+    restored = unstack_layer_params(stacked['Encoder_0'])
+    for leaf_a, leaf_b in zip(
+            jax.tree_util.tree_leaves(params['Encoder_0']),
+            jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
+def test_stack_passthrough():
+    tree = {'LayerNorm_0': {'scale': jnp.ones(4)},
+            'EncoderBlock_0': {'w': jnp.zeros(2)},
+            'EncoderBlock_1': {'w': jnp.ones(2)}}
+    stacked = stack_layer_params(tree)
+    assert set(stacked) == {'LayerNorm_0', 'EncoderBlock'}
+    assert stacked['EncoderBlock']['w'].shape == (2, 2)
