@@ -74,8 +74,21 @@ class EncoderBlock(nn.Module):
         return x + y
 
 
+class ScanEncoderBlock(EncoderBlock):
+    """EncoderBlock with a scan-compatible (carry, broadcast) signature."""
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        return super().__call__(inputs, is_training=is_training), None
+
+
 class Encoder(nn.Module):
-    """Absolute position embedding + N CaiT body blocks (no final LN)."""
+    """Absolute position embedding + N CaiT body blocks (no final LN).
+
+    ``scan_layers=True`` runs the body under ``nn.scan`` — CaiT goes up to
+    48 layers, where depth-independent compile time matters most. Convert
+    reference checkpoints with ``sav_tpu.utils.stacking``.
+    """
 
     num_layers: int
     num_heads: int
@@ -87,23 +100,34 @@ class Encoder(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
         x = AddAbsPosEmbed()(inputs)
         x = nn.Dropout(rate=self.dropout_rate)(x,
                                                deterministic=not is_training)
-        for _ in range(self.num_layers):
-            x = EncoderBlock(num_heads=self.num_heads,
-                             expand_ratio=self.expand_ratio,
-                             attn_dropout_rate=self.attn_dropout_rate,
-                             dropout_rate=self.dropout_rate,
-                             stoch_depth_rate=self.stoch_depth_rate,
-                             layerscale_eps=self.layerscale_eps,
-                             activation_fn=self.activation_fn,
-                             dtype=self.dtype,
-                             use_kernel=self.use_kernel)(
-                                 x, is_training=is_training)
+        block_kwargs = dict(num_heads=self.num_heads,
+                            expand_ratio=self.expand_ratio,
+                            attn_dropout_rate=self.attn_dropout_rate,
+                            dropout_rate=self.dropout_rate,
+                            stoch_depth_rate=self.stoch_depth_rate,
+                            layerscale_eps=self.layerscale_eps,
+                            activation_fn=self.activation_fn,
+                            dtype=self.dtype,
+                            use_kernel=self.use_kernel)
+        if self.scan_layers:
+            scanned = nn.scan(ScanEncoderBlock,
+                              variable_axes={'params': 0},
+                              split_rngs={'params': True, 'dropout': True,
+                                          'stochastic_depth': True},
+                              in_axes=nn.broadcast,
+                              length=self.num_layers)
+            x, _ = scanned(name='EncoderBlock', **block_kwargs)(
+                x, is_training)
+        else:
+            for _ in range(self.num_layers):
+                x = EncoderBlock(**block_kwargs)(x, is_training=is_training)
         return x
 
 
@@ -166,6 +190,7 @@ class CaiT(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -182,7 +207,8 @@ class CaiT(nn.Module):
                     layerscale_eps=self.layerscale_eps,
                     activation_fn=self.activation_fn,
                     dtype=self.dtype,
-                    use_kernel=self.use_kernel)(x, is_training=is_training)
+                    use_kernel=self.use_kernel,
+                    scan_layers=self.scan_layers)(x, is_training=is_training)
 
         batch = x.shape[0]
         cls_token = self.param('cls', nn.initializers.zeros,

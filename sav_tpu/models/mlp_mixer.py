@@ -41,6 +41,14 @@ class MixerBlock(nn.Module):
         return x + y
 
 
+class ScanMixerBlock(MixerBlock):
+    """MixerBlock with a scan-compatible (carry, broadcast) signature."""
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        return super().__call__(inputs, is_training=is_training), None
+
+
 class MLPMixer(nn.Module):
     """MLP-Mixer classifier over NHWC images."""
 
@@ -52,6 +60,7 @@ class MLPMixer(nn.Module):
     channels_expand_ratio: float = 4
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -60,11 +69,20 @@ class MLPMixer(nn.Module):
                             use_bias=True,
                             dtype=self.dtype)(inputs)
 
-        for _ in range(self.num_layers):
-            x = MixerBlock(tokens_expand_ratio=self.tokens_expand_ratio,
-                           channels_expand_ratio=self.channels_expand_ratio,
-                           activation_fn=self.activation_fn,
-                           dtype=self.dtype)(x, is_training=is_training)
+        block_kwargs = dict(tokens_expand_ratio=self.tokens_expand_ratio,
+                            channels_expand_ratio=self.channels_expand_ratio,
+                            activation_fn=self.activation_fn,
+                            dtype=self.dtype)
+        if self.scan_layers:
+            scanned = nn.scan(ScanMixerBlock,
+                              variable_axes={'params': 0},
+                              split_rngs={'params': True, 'dropout': True},
+                              in_axes=nn.broadcast,
+                              length=self.num_layers)
+            x, _ = scanned(name='MixerBlock', **block_kwargs)(x, is_training)
+        else:
+            for _ in range(self.num_layers):
+                x = MixerBlock(**block_kwargs)(x, is_training=is_training)
 
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = jnp.mean(x, axis=1)

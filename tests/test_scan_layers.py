@@ -50,3 +50,41 @@ def test_stack_passthrough():
     stacked = stack_layer_params(tree)
     assert set(stacked) == {'LayerNorm_0', 'EncoderBlock'}
     assert stacked['EncoderBlock']['w'].shape == (2, 2)
+
+
+def test_cait_scan_matches_unrolled():
+    from sav_tpu.models import CaiT
+    kwargs = dict(num_classes=10, num_layers=3, num_layers_token_only=1,
+                  num_heads=4, embed_dim=64, patch_shape=(16, 16),
+                  stoch_depth_rate=0.1, layerscale_eps=1e-5)
+    unrolled = CaiT(**kwargs)
+    scanned = CaiT(**kwargs, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    params = unrolled.init(jax.random.PRNGKey(0), x,
+                           is_training=False)['params']
+    stacked = dict(params)
+    stacked['Encoder_0'] = stack_layer_params(params['Encoder_0'])
+
+    a = unrolled.apply({'params': params}, x, is_training=False)
+    b = scanned.apply({'params': stacked}, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_mixer_scan_matches_unrolled():
+    from sav_tpu.models import MLPMixer
+    kwargs = dict(num_classes=10, num_layers=3, embed_dim=64,
+                  patch_shape=(16, 16))
+    unrolled = MLPMixer(**kwargs)
+    scanned = MLPMixer(**kwargs, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    params = unrolled.init(jax.random.PRNGKey(0), x,
+                           is_training=False)['params']
+    stacked = stack_layer_params(params, prefix='MixerBlock')
+
+    a = unrolled.apply({'params': params}, x, is_training=False)
+    b = scanned.apply({'params': stacked}, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=1e-5)
