@@ -93,19 +93,27 @@ def multi_head_attention(
     if use_kernel is not False:
         from sav_tpu.ops import flash_attention  # local import: avoids cycle
 
-        if flash_attention.supported(
-            query, key, value,
-            bias=bias,
-            pre_softmax_transform=pre_softmax_transform,
-            post_softmax_transform=post_softmax_transform,
-            dropout_rate=dropout_rate,
-        ) or use_kernel is True:
+        if use_kernel in (True, 'kernel'):
+            mode = 'kernel'
+        elif use_kernel == 'hybrid':
+            mode = 'hybrid'
+        else:
+            mode = flash_attention.dispatch_mode(
+                query, key, value,
+                bias=bias,
+                pre_softmax_transform=pre_softmax_transform,
+                post_softmax_transform=post_softmax_transform,
+                dropout_rate=dropout_rate,
+            )
+        if mode == 'kernel':
             return flash_attention.mha(
                 query, key, value,
                 bias=bias,
                 pre_softmax_transform=pre_softmax_transform,
                 post_softmax_transform=post_softmax_transform,
             )
+        if mode == 'hybrid':
+            return flash_attention.mha_hybrid(query, key, value)
 
     weights = attention_weights(
         query, key,

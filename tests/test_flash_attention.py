@@ -85,3 +85,34 @@ def test_bf16_forward_close():
                       v.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                atol=2e-2, rtol=2e-2)
+
+
+def hybrid(q, k, v):
+    return attention_ops.multi_head_attention(q, k, v, use_kernel='hybrid')
+
+
+@pytest.mark.parametrize('q_len,kv_len', [(197, 197), (130, 250)])
+def test_hybrid_matches_reference(q_len, kv_len):
+    q, k, v = make_qkv(q_len, kv_len, 4, 64)
+    with jax.default_matmul_precision('highest'):
+        got = np.asarray(hybrid(q, k, v))
+        want = np.asarray(reference(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_hybrid_gradients_match_reference():
+    q, k, v = make_qkv(197, 197, 2, 64, batch=1)
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v)
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    with jax.default_matmul_precision('highest'):
+        g_ref = jax.grad(lambda *a: loss(reference, *a),
+                         argnums=(0, 1, 2))(q, k, v)
+        g_hyb = jax.grad(lambda *a: loss(hybrid, *a),
+                         argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_hyb, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4,
+                                   err_msg=f'd{name} mismatch')
