@@ -256,3 +256,59 @@ def random_erasing(image, rng, erase_prob=0.25, min_area=0.02, max_area=1/3,
     erased = jnp.where(mask[..., None], noise, image)
     apply = jax.random.uniform(r_apply, ()) < erase_prob
     return jnp.where(apply, erased, image)
+
+
+def smooth(image, factor):
+    """Blend toward a 3x3 box-smoothed image (reference: augment_ops.py
+    'smooth'); border pixels stay original."""
+    kernel = jnp.ones((3, 3), jnp.float32) / 9.0
+    channels = image.shape[-1]
+    lhs = image[None].transpose(0, 3, 1, 2)
+    rhs = jnp.tile(kernel[None, None], (channels, 1, 1, 1))
+    soft = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), 'VALID',
+        feature_group_count=channels)[0].transpose(1, 2, 0)
+    padded = jnp.pad(_clip(soft), ((1, 1), (1, 1), (0, 0)))
+    mask = jnp.zeros(image.shape[:2], bool).at[1:-1, 1:-1].set(True)
+    degenerate = jnp.where(mask[..., None], padded, image)
+    return blend(image, degenerate, factor)
+
+
+def rescale(image, level):
+    """Zoom toward the center by up to 50% (reference: augment_ops.py
+    'rescale'): crop the central (1 - level/2) fraction and resize back."""
+    size = image.shape[0]
+    scale = 1.0 - 0.5 * level
+    crop = size * scale
+    offset = (size - crop) / 2.0
+    scale_xy = jnp.full((2,), size / crop, jnp.float32)
+    translation = jnp.full((2,), -offset * (size / crop), jnp.float32)
+    return _clip(jax.image.scale_and_translate(
+        image, image.shape, spatial_dims=(0, 1), scale=scale_xy,
+        translation=translation, method='bilinear'))
+
+
+# Registry mirroring the reference's NAME_TO_FUNC surface
+# (reference: augment_ops.py:674-697). Geometric/randomized ops take
+# (image, rng_or_level, ...) per their signatures above.
+NAME_TO_FUNC = {
+    'AutoContrast': autocontrast,
+    'Equalize': equalize,
+    'Invert': invert,
+    'Rotate': rotate,
+    'Posterize': posterize,
+    'Solarize': solarize,
+    'SolarizeAdd': solarize_add,
+    'Color': color,
+    'Contrast': contrast,
+    'Brightness': brightness,
+    'Sharpness': sharpness,
+    'ShearX': shear_x,
+    'ShearY': shear_y,
+    'TranslateX': translate_x,
+    'TranslateY': translate_y,
+    'Identity': lambda image, *a: image,
+    'Cutout': cutout,
+    'Smooth': smooth,
+    'Rescale': rescale,
+}

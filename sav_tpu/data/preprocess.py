@@ -99,3 +99,15 @@ def train_preprocess(rng, image, out_size: int):
 
 def eval_preprocess(image, out_size: int):
     return normalize(central_crop_resize(image, out_size))
+
+
+def train_cifar_preprocess(rng, image):
+    """CIFAR-style train transform: pad to 36, random 32x32 crop, flip
+    (reference: data/preprocess/preprocess.py:96-108)."""
+    r_y, r_x, r_flip = jax.random.split(rng, 3)
+    padded = jnp.pad(image, ((4, 4), (4, 4), (0, 0)))
+    y0 = jax.random.randint(r_y, (), 0, 9)
+    x0 = jax.random.randint(r_x, (), 0, 9)
+    cropped = jax.lax.dynamic_slice(padded, (y0, x0, 0),
+                                    (32, 32, image.shape[-1]))
+    return random_flip(r_flip, cropped)
