@@ -61,3 +61,15 @@ class SyntheticDataset:
         while True:
             yield self.batch(step)
             step += 1
+
+
+def device_batch_fn(batch_size: int, image_size: int, num_classes: int,
+                    seed: int = 0):
+    """Traceable ``batch_fn(step) -> batch`` for chained train steps."""
+    base_rng = jax.random.PRNGKey(seed)
+
+    def batch_fn(step):
+        return synthetic_batch(jax.random.fold_in(base_rng, step),
+                               batch_size, image_size, num_classes)
+
+    return batch_fn

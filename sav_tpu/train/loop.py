@@ -53,6 +53,7 @@ class TrainConfig:
     total_steps: Optional[int] = None       # overrides epoch math if set
     model_parallelism: int = 1
     remat: bool = False                 # jax.checkpoint the forward pass
+    steps_per_dispatch: int = 1         # chain N steps per device dispatch
     log_every: int = 100
     eval_every_epochs: int = 5
     checkpoint_every_epochs: int = 10
@@ -173,6 +174,8 @@ class Trainer:
         c = self.config
         train_data = self._dataset()
         eval_data = self._dataset(seed_offset=1)
+        if c.steps_per_dispatch > 1 and c.dataset == 'synthetic':
+            return self._run_chained(eval_data)
         steps_per_eval = c.steps_per_epoch * c.eval_every_epochs
         steps_per_ckpt = c.steps_per_epoch * c.checkpoint_every_epochs
 
@@ -216,6 +219,43 @@ class Trainer:
                 self.logger.log(eval_metrics, next_step)
                 last_metrics.update(eval_metrics)
 
+        if self.checkpoints is not None:
+            self.checkpoints.wait()
+        return last_metrics
+
+    def _run_chained(self, eval_data) -> Dict[str, float]:
+        """Device-resident loop: N steps per dispatch, batches generated on
+        device (synthetic source). Zero host round trips between steps."""
+        from sav_tpu.data.synthetic import device_batch_fn
+
+        c = self.config
+        batch_fn = device_batch_fn(c.batch_size, c.img_size,
+                                   num_classes=c.num_classes, seed=c.seed)
+        chained = steps_lib.make_chained_train_step(
+            self.model, self.tx, self.mesh, self.state, batch_fn,
+            steps_per_call=c.steps_per_dispatch,
+            num_classes=c.num_classes,
+            label_smoothing=c.label_smoothing, remat=c.remat)
+
+        last_metrics: Dict[str, float] = {}
+        step = int(jax.device_get(self.state.step))
+        while step < c.steps_total:
+            start = time.perf_counter()
+            self.state, metrics = chained(self.state, self.step_rng)
+            metrics = jax.device_get(metrics)
+            elapsed = time.perf_counter() - start
+            step += c.steps_per_dispatch
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            last_metrics['images_per_sec'] = (
+                c.batch_size * c.steps_per_dispatch / elapsed)
+            last_metrics['learning_rate'] = float(self.schedule(step))
+            self.logger.log(last_metrics, step)
+            if self.checkpoints is not None:
+                self.checkpoints.save(step, self.state)
+
+        eval_metrics = self.evaluate(eval_data, c.eval_batches)
+        self.logger.log(eval_metrics, step)
+        last_metrics.update(eval_metrics)
         if self.checkpoints is not None:
             self.checkpoints.wait()
         return last_metrics

@@ -160,3 +160,40 @@ def make_eval_step(model, mesh: Mesh, state: TrainState,
     repl = NamedSharding(mesh, P())
     return jax.jit(step, in_shardings=(state_sh, batch_sh),
                    out_shardings=repl)
+
+
+def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
+                            batch_fn, steps_per_call: int,
+                            num_classes: int = 1000,
+                            label_smoothing: float = 0.0,
+                            remat: bool = False, donate: bool = True):
+    """N train steps per dispatch, batches generated on device.
+
+    ``batch_fn(step_index)`` must be traceable (e.g.
+    ``SyntheticDataset.device_batch_fn()``): the whole loop then runs as one
+    ``lax.scan`` on the accelerator with zero host round trips between
+    steps — on tunneled/async backends each dispatch costs ~30 ms, so
+    per-step host loops leave throughput on the table.
+
+    Returns a jitted ``fn(state, rng) -> (state, last_metrics)``.
+    """
+    step = functools.partial(train_step, model=model, tx=tx,
+                             num_classes=num_classes,
+                             label_smoothing=label_smoothing, remat=remat)
+
+    def chained(state, rng):
+        def body(carry, _):
+            batch = batch_fn(carry.step)
+            new_state, metrics = step(carry, batch, rng)
+            return new_state, metrics
+        state, metrics = jax.lax.scan(body, state, None,
+                                      length=steps_per_call)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    state_sh = _tree_shardings(mesh, state)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(chained,
+                   in_shardings=(state_sh, repl),
+                   out_shardings=(state_sh, repl),
+                   donate_argnums=(0,) if donate else ())

@@ -22,6 +22,7 @@ def main():
         lr=3e-3,
         weight_decay=1e-4,
         clip_grad=1.0,
+        steps_per_dispatch=10 if on_tpu else 1,
         log_every=1,
         eval_every_epochs=10**6,        # skip eval in the smoke loop
         checkpoint_every_epochs=10**6,

@@ -220,3 +220,41 @@ def test_trainer_end_to_end_tiny():
     metrics = Trainer(config).run()
     assert np.isfinite(metrics['loss'])
     assert metrics['loss'] > 0
+
+
+def test_chained_train_steps_match_python_loop():
+    from sav_tpu.data.synthetic import device_batch_fn
+    mesh, model, tx, state = tiny_setup()
+    rng = jax.random.PRNGKey(0)
+    batch_fn = device_batch_fn(8, IMG, NUM_CLASSES, seed=5)
+
+    # python loop
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        donate=False)
+    s = state
+    for i in range(4):
+        batch = jax.jit(batch_fn)(jnp.asarray(i))
+        batch = steps_lib.shard_batch(mesh, batch)
+        s, metrics = step_fn(s, batch, rng)
+    loop_loss = float(metrics['loss'])
+
+    # one chained dispatch
+    chained = steps_lib.make_chained_train_step(
+        model, tx, mesh, state, batch_fn, steps_per_call=4,
+        num_classes=NUM_CLASSES, donate=False)
+    s2, metrics2 = chained(state, rng)
+    assert int(jax.device_get(s2.step)) == 4
+    np.testing.assert_allclose(float(metrics2['loss']), loop_loss,
+                               rtol=1e-5)
+
+
+def test_trainer_chained_dispatch():
+    from sav_tpu.train import TrainConfig, Trainer
+    config = TrainConfig(model_name='vit_ti_patch16', img_size=32,
+                         batch_size=8, total_steps=4, dtype='float32',
+                         num_classes=NUM_CLASSES, steps_per_dispatch=2,
+                         log_every=1, eval_every_epochs=10**6,
+                         checkpoint_every_epochs=10**6, eval_batches=1)
+    metrics = Trainer(config).run()
+    assert np.isfinite(metrics['loss'])
