@@ -8,7 +8,6 @@ over the stack of per-layer cls tokens.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple, Union
 
 import jax.numpy as jnp
@@ -58,8 +57,20 @@ class EncoderBlock(nn.Module):
         return nn.LayerNorm(dtype=self.dtype)(y)
 
 
+class ScanEncoderBlock(EncoderBlock):
+    """EncoderBlock emitting its cls token as the scan output."""
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        x = super().__call__(inputs, is_training=is_training)
+        return x, x[:, :1]
+
+
 class Encoder(nn.Module):
-    """N post-LN blocks; returns the per-layer cls tokens ``[B, N, D]``."""
+    """N post-LN blocks; returns the per-layer cls tokens ``[B, N, D]``.
+
+    ``scan_layers=True`` runs the blocks under ``nn.scan`` (BatchNorm
+    statistics gain a leading layer axis alongside the parameters)."""
 
     num_layers: int
     num_heads: int
@@ -70,11 +81,11 @@ class Encoder(nn.Module):
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        encoder_block = functools.partial(
-            EncoderBlock,
+        block_kwargs = dict(
             num_heads=self.num_heads,
             expand_ratio=self.expand_ratio,
             leff_kernel_size=self.leff_kernel_size,
@@ -84,11 +95,21 @@ class Encoder(nn.Module):
             dtype=self.dtype,
             use_kernel=self.use_kernel,
         )
+        if self.scan_layers:
+            scanned = nn.scan(ScanEncoderBlock,
+                              variable_axes={'params': 0, 'batch_stats': 0},
+                              split_rngs={'params': True, 'dropout': True},
+                              in_axes=nn.broadcast,
+                              length=self.num_layers)
+            _, cls_tokens = scanned(name='EncoderBlock', **block_kwargs)(
+                inputs, is_training)
+            # [layers, B, 1, D] -> [B, layers, D]
+            return jnp.swapaxes(cls_tokens[:, :, 0, :], 0, 1)
 
         x = inputs
         cls_tokens = []
         for _ in range(self.num_layers):
-            x = encoder_block()(x, is_training=is_training)
+            x = EncoderBlock(**block_kwargs)(x, is_training=is_training)
             cls_tokens.append(x[:, :1])
         return jnp.concatenate(cls_tokens, axis=1)
 
@@ -140,6 +161,7 @@ class CeiT(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -168,7 +190,8 @@ class CeiT(nn.Module):
                              bn_momentum=self.bn_momentum,
                              bn_epsilon=self.bn_epsilon,
                              dtype=self.dtype,
-                             use_kernel=self.use_kernel)(
+                             use_kernel=self.use_kernel,
+                             scan_layers=self.scan_layers)(
                                  x, is_training=is_training)
 
         cls_tokens = LCSelfAttentionBlock(num_heads=self.num_heads,

@@ -111,6 +111,17 @@ class EncoderBlock(nn.Module):
         return outer_x + outer_y, inner_output
 
 
+class ScanEncoderBlock(EncoderBlock):
+    """EncoderBlock threading the (patch, pixel) pair as the scan carry."""
+
+    @nn.compact
+    def __call__(self, carry, is_training: bool):
+        patch, pixel = carry
+        patch, pixel = super().__call__(patch, pixel,
+                                        is_training=is_training)
+        return (patch, pixel), None
+
+
 class Encoder(nn.Module):
     """N TNT layers threading (patch, pixel) state; returns patch tokens."""
 
@@ -124,20 +135,33 @@ class Encoder(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, patch_embeddings, pixel_embeddings, is_training: bool):
+        block_kwargs = dict(
+            inner_num_heads=self.inner_num_heads,
+            outer_num_heads=self.outer_num_heads,
+            attn_dropout_rate=self.attn_dropout_rate,
+            dropout_rate=self.dropout_rate,
+            activation_fn=self.activation_fn,
+            dtype=self.dtype,
+            use_kernel=self.use_kernel)
+        if self.scan_layers:
+            scanned = nn.scan(ScanEncoderBlock,
+                              variable_axes={'params': 0},
+                              split_rngs={'params': True, 'dropout': True},
+                              in_axes=nn.broadcast,
+                              length=self.num_layers)
+            (patch_embeddings, _), _ = scanned(
+                name='EncoderBlock', **block_kwargs)(
+                    (patch_embeddings, pixel_embeddings), is_training)
+            return patch_embeddings
         for _ in range(self.num_layers):
             patch_embeddings, pixel_embeddings = EncoderBlock(
-                inner_num_heads=self.inner_num_heads,
-                outer_num_heads=self.outer_num_heads,
-                attn_dropout_rate=self.attn_dropout_rate,
-                dropout_rate=self.dropout_rate,
-                activation_fn=self.activation_fn,
-                dtype=self.dtype,
-                use_kernel=self.use_kernel)(patch_embeddings,
-                                            pixel_embeddings,
-                                            is_training=is_training)
+                **block_kwargs)(patch_embeddings,
+                                pixel_embeddings,
+                                is_training=is_training)
         return patch_embeddings
 
 
@@ -159,6 +183,7 @@ class TNT(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -192,7 +217,8 @@ class TNT(nn.Module):
                                    dropout_rate=self.dropout_rate,
                                    activation_fn=self.activation_fn,
                                    dtype=self.dtype,
-                                   use_kernel=self.use_kernel)(
+                                   use_kernel=self.use_kernel,
+                                   scan_layers=self.scan_layers)(
                                        patch_embeddings,
                                        pixel_embeddings,
                                        is_training=is_training)

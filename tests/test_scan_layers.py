@@ -88,3 +88,44 @@ def test_mixer_scan_matches_unrolled():
     b = scanned.apply({'params': stacked}, x, is_training=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                rtol=1e-5)
+
+
+def test_ceit_scan_matches_unrolled():
+    from sav_tpu.models import CeiT
+    kwargs = dict(num_classes=10, num_layers=3, num_heads=4, embed_dim=64)
+    unrolled = CeiT(**kwargs)
+    scanned = CeiT(**kwargs, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    variables = unrolled.init(jax.random.PRNGKey(0), x, is_training=False)
+    stacked_params = dict(variables['params'])
+    stacked_params['Encoder_0'] = stack_layer_params(
+        variables['params']['Encoder_0'])
+    stacked_stats = dict(variables['batch_stats'])
+    stacked_stats['Encoder_0'] = stack_layer_params(
+        variables['batch_stats']['Encoder_0'])
+
+    a = unrolled.apply(variables, x, is_training=False)
+    b = scanned.apply({'params': stacked_params,
+                       'batch_stats': stacked_stats}, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_tnt_scan_matches_unrolled():
+    from sav_tpu.models import TNT
+    kwargs = dict(num_classes=10, num_layers=3, inner_num_heads=2,
+                  outer_num_heads=4, inner_embed_dim=16, outer_embed_dim=64)
+    unrolled = TNT(**kwargs)
+    scanned = TNT(**kwargs, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    params = unrolled.init(jax.random.PRNGKey(0), x,
+                           is_training=False)['params']
+    stacked = dict(params)
+    stacked['Encoder_0'] = stack_layer_params(params['Encoder_0'])
+
+    a = unrolled.apply({'params': params}, x, is_training=False)
+    b = scanned.apply({'params': stacked}, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=1e-5)
