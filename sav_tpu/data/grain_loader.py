@@ -94,19 +94,20 @@ class GrainDataset:
         config = parse_augment_name(augmentation)
         augment_fn = make_train_augment_fn(image_size, config)
 
-        def device_transform(rng, images, labels):
+        def device_transform(rng, images, labels, mask):
             images = images.astype(jnp.float32)
             if training:
                 return augment_fn(rng, images, labels)
             out = jax.vmap(
                 lambda im: preprocess.eval_preprocess(im, image_size))(images)
-            return {'images': out, 'labels': labels}
+            return {'images': out, 'labels': labels, 'mask': mask}
 
         shardings = None
         if mesh is not None:
             shardings = NamedSharding(mesh, P(DATA_AXIS))
         self._transform = jax.jit(device_transform, out_shardings=shardings)
         self._rng = jax.random.PRNGKey(seed)
+        self._training = training
 
     def batch(self, step: int):
         if step != self._next_step:   # restart for out-of-order access
@@ -115,9 +116,21 @@ class GrainDataset:
                 next(self._iterator)
         record = next(self._iterator)
         self._next_step = step + 1
+        images = np.ascontiguousarray(record['image'])
+        labels = np.ascontiguousarray(record['label'])
+        # pad ragged final eval batches to keep jit shapes static; the mask
+        # tells eval_step which rows are real (reference: the tf.data
+        # pipeline's pad_up_to_batches, input_pipeline.py:360-376)
+        valid = images.shape[0]
+        mask = np.ones((self.batch_size,), np.float32)
+        if valid < self.batch_size:
+            pad = self.batch_size - valid
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+            labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+            mask[valid:] = 0.0
         return self._transform(jax.random.fold_in(self._rng, step),
-                               np.ascontiguousarray(record['image']),
-                               np.ascontiguousarray(record['label']))
+                               images, labels, mask)
 
     def __iter__(self):
         step = 0

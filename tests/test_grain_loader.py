@@ -48,3 +48,17 @@ def test_create_dataset_routes_to_grain(shard_dir):
                           augmentation='none', training=False)
     batch = data.batch(0)
     assert batch['images'].shape == (4, 32, 32, 3)
+
+
+@pytest.mark.skipif(not grain_loader.HAS_GRAIN, reason='grain missing')
+def test_eval_pads_final_batch_with_mask(shard_dir):
+    data = grain_loader.GrainDataset(shard_dir + '/*.npz', batch_size=48,
+                                     image_size=32, training=False, seed=0)
+    first = data.batch(0)
+    assert first['images'].shape == (48, 32, 32, 3)
+    assert float(np.asarray(first['mask']).sum()) == 48
+    second = data.batch(1)
+    assert second['images'].shape == (48, 32, 32, 3)
+    assert float(np.asarray(second['mask']).sum()) == 16  # 64 - 48
+    with pytest.raises(StopIteration):
+        data.batch(2)
