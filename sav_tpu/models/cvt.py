@@ -88,8 +88,20 @@ class StageBlock(nn.Module):
         return x + y
 
 
+class ScanStageBlock(StageBlock):
+    """StageBlock with a scan-compatible (carry, broadcast) signature."""
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool):
+        return super().__call__(inputs, is_training=is_training), None
+
+
 class Stage(nn.Module):
-    """Conv token embedding, optional cls insertion, N stage blocks."""
+    """Conv token embedding, optional cls insertion, N stage blocks.
+
+    ``scan_layers=True`` runs the blocks under ``nn.scan`` (parameters and
+    BatchNorm statistics gain a leading layer axis) — CvT-W24's last stage
+    is 20 blocks deep."""
 
     size: int
     num_heads: int
@@ -105,6 +117,7 @@ class Stage(nn.Module):
     insert_cls: bool = False
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -121,18 +134,31 @@ class Stage(nn.Module):
             x = jnp.concatenate([jnp.tile(cls_token, [batch, 1, 1]), x],
                                 axis=1)
 
+        block_kwargs = dict(num_heads=self.num_heads,
+                            embed_dim=self.embed_dim,
+                            kernel_size=self.sa_kernel_size,
+                            use_bias=self.use_bias,
+                            activation_fn=self.activation_fn,
+                            bn_momentum=self.bn_momentum,
+                            bn_epsilon=self.bn_epsilon,
+                            expand_ratio=self.expand_ratio,
+                            dtype=self.dtype,
+                            use_kernel=self.use_kernel)
+        if self.scan_layers and self.size > 2:
+            # the first block can change sequence length (cls insertion
+            # makes L one past a square; zero_pad_and_reshape then grows it
+            # to the next square) — peel it so the scan carry is stable
+            x = StageBlock(name='StageBlock_0', **block_kwargs)(
+                x, is_training=is_training)
+            scanned = nn.scan(ScanStageBlock,
+                              variable_axes={'params': 0, 'batch_stats': 0},
+                              split_rngs={'params': True, 'dropout': True},
+                              in_axes=nn.broadcast,
+                              length=self.size - 1)
+            x, _ = scanned(name='StageBlock', **block_kwargs)(x, is_training)
+            return x
         for _ in range(self.size):
-            x = StageBlock(num_heads=self.num_heads,
-                           embed_dim=self.embed_dim,
-                           kernel_size=self.sa_kernel_size,
-                           use_bias=self.use_bias,
-                           activation_fn=self.activation_fn,
-                           bn_momentum=self.bn_momentum,
-                           bn_epsilon=self.bn_epsilon,
-                           expand_ratio=self.expand_ratio,
-                           dtype=self.dtype,
-                           use_kernel=self.use_kernel)(
-                               x, is_training=is_training)
+            x = StageBlock(**block_kwargs)(x, is_training=is_training)
         return x
 
 
@@ -153,6 +179,7 @@ class CvT(nn.Module):
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -170,7 +197,8 @@ class CvT(nn.Module):
                       bn_epsilon=self.bn_epsilon,
                       expand_ratio=self.expand_ratio,
                       dtype=self.dtype,
-                      use_kernel=self.use_kernel)(x, is_training=is_training)
+                      use_kernel=self.use_kernel,
+                      scan_layers=self.scan_layers)(x, is_training=is_training)
 
             side = math.isqrt(x.shape[1])
             x = rearrange(x, 'b (H W) c -> b H W c', H=side)
@@ -188,7 +216,8 @@ class CvT(nn.Module):
                   expand_ratio=self.expand_ratio,
                   insert_cls=True,
                   dtype=self.dtype,
-                  use_kernel=self.use_kernel)(x, is_training=is_training)
+                  use_kernel=self.use_kernel,
+                  scan_layers=self.scan_layers)(x, is_training=is_training)
 
         return nn.Dense(features=self.num_classes,
                         use_bias=True,

@@ -129,3 +129,39 @@ def test_tnt_scan_matches_unrolled():
     b = scanned.apply({'params': stacked}, x, is_training=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                rtol=1e-5)
+
+
+def test_cvt_scan_matches_unrolled():
+    from sav_tpu.models import CvT
+    kwargs = dict(num_classes=10, stage_sizes=(1, 2, 3),
+                  num_heads=(1, 2, 4), embed_dim=(16, 32, 64))
+    # scan engages only for stages deeper than 2 blocks (stage 3 here)
+    unrolled = CvT(**kwargs)
+    scanned = CvT(**kwargs, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    variables = unrolled.init(jax.random.PRNGKey(0), x, is_training=False)
+
+    def stack_stage(tree):
+        # first StageBlock stays peeled (scan carry must be shape-stable);
+        # the rest stack under 'StageBlock'
+        out = dict(tree)
+        for key in list(out):
+            if not key.startswith('Stage_'):
+                continue
+            stage = dict(out[key])
+            blocks = sorted((k for k in stage if k.startswith('StageBlock_')),
+                            key=lambda k: int(k.split('_')[1]))
+            if len(blocks) > 2:
+                rest = {f'StageBlock_{i}': stage.pop(b)
+                        for i, b in enumerate(blocks[1:])}
+                stage.update(stack_layer_params(rest, prefix='StageBlock'))
+            out[key] = stage
+        return out
+
+    converted = {'params': stack_stage(variables['params']),
+                 'batch_stats': stack_stage(variables['batch_stats'])}
+    a = unrolled.apply(variables, x, is_training=False)
+    b = scanned.apply(converted, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=1e-5)
