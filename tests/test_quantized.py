@@ -1,0 +1,50 @@
+"""Experimental int8 matmul: accuracy envelope and STE gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sav_tpu.ops import quantized
+
+
+def test_int8_matmul_close_to_f32():
+    a = jax.random.normal(jax.random.PRNGKey(0), (64, 128))
+    b = jax.random.normal(jax.random.PRNGKey(1), (128, 96))
+    got = np.asarray(quantized.int8_matmul(a, b))
+    want = np.asarray(a @ b)
+    # dynamic symmetric int8: ~1.5% mean relative error at these shapes
+    rel = np.abs(got - want) / (np.abs(want) + 1.0)
+    assert rel.mean() < 0.025, rel.mean()
+
+
+def test_quantize_roundtrip_scale():
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32)) * 5.0
+    q, scale = quantized.quantize_symmetric(x, axis=1)
+    back = np.asarray(q.astype(jnp.float32) * scale)
+    np.testing.assert_allclose(back, np.asarray(x), atol=np.asarray(
+        scale).max() * 0.51)
+    assert q.dtype == jnp.int8
+
+
+def test_ste_gradients_match_f32():
+    a = jax.random.normal(jax.random.PRNGKey(0), (16, 32))
+    b = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+
+    ga_q, gb_q = jax.grad(
+        lambda a, b: jnp.sum(jnp.tanh(quantized.int8_matmul(a, b))),
+        argnums=(0, 1))(a, b)
+    ga_f, gb_f = jax.grad(
+        lambda a, b: jnp.sum(jnp.tanh(a @ b)), argnums=(0, 1))(a, b)
+    # STE: same gradient formula; small diff from the fwd quantization
+    # error flowing through tanh'
+    np.testing.assert_allclose(np.asarray(ga_q), np.asarray(ga_f), atol=0.2)
+    np.testing.assert_allclose(np.asarray(gb_q), np.asarray(gb_f), atol=0.2)
+
+
+def test_quantized_dense_shapes():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 32), jnp.bfloat16)
+    kernel = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+    bias = jnp.ones((16,))
+    out = quantized.quantized_dense(x, kernel, bias)
+    assert out.shape == (2, 7, 16)
+    assert out.dtype == jnp.bfloat16
