@@ -96,10 +96,17 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
-def param_spec(path: str) -> P:
-    """PartitionSpec for one param, keyed by its flax key path string."""
+def param_spec(path: str, ndim: Optional[int] = None) -> P:
+    """PartitionSpec for one param, keyed by its flax key path string.
+
+    With ``ndim`` given, scan-stacked parameters (one extra leading layer
+    axis from ``scan_layers=True``) get their spec shifted right so the
+    intended axis is still the one sharded.
+    """
     for pattern, spec in _TP_RULES:
         if re.search(pattern, path):
+            if ndim is not None and ndim == len(spec) + 1:
+                return P(None, *spec)
             return spec
     return P()
 
@@ -115,7 +122,8 @@ def param_shardings(mesh: Mesh, params) -> object:
             lambda _: NamedSharding(mesh, P()), params)
 
     def one(path, leaf):
-        spec = param_spec(jax.tree_util.keystr(path))
+        spec = param_spec(jax.tree_util.keystr(path),
+                          ndim=getattr(leaf, 'ndim', None))
         # Guard: only apply a spec if the axis size divides the dim.
         sizes = dict(mesh.shape)
         for dim, axis in enumerate(spec):

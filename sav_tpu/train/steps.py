@@ -109,7 +109,8 @@ def _tree_shardings(mesh: Mesh, tree):
             lambda _: NamedSharding(mesh, P()), tree)
 
     def one(path, leaf):
-        spec = mesh_lib.param_spec(jax.tree_util.keystr(path))
+        spec = mesh_lib.param_spec(jax.tree_util.keystr(path),
+                                   ndim=getattr(leaf, 'ndim', None))
         sizes = dict(mesh.shape)
         shape = getattr(leaf, 'shape', ())
         for dim, axis in enumerate(spec):

@@ -258,3 +258,66 @@ def test_trainer_chained_dispatch():
                          checkpoint_every_epochs=10**6, eval_batches=1)
     metrics = Trainer(config).run()
     assert np.isfinite(metrics['loss'])
+
+
+def test_scanned_tensor_parallel_matches_data_parallel():
+    """scan_layers + TP: stacked kernels shard the intended axis and the
+    math matches pure data parallel."""
+    from sav_tpu.models import ViT
+    losses = {}
+    for mp in (1, 2):
+        mesh = create_mesh(model_parallelism=mp)
+        model = ViT(num_classes=NUM_CLASSES, num_layers=2, num_heads=4,
+                    embed_dim=64, patch_shape=(16, 16), scan_layers=True)
+        tx = build_optimizer(1e-3)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.ones((1, IMG, IMG, 3)),
+                               is_training=False)
+        state = steps_lib.shard_state(mesh, TrainState.create(variables, tx))
+        if mp == 2:
+            kernel_sharding = state.params['Encoder_0']['EncoderBlock'][
+                'SelfAttentionBlock_0']['queries']['kernel'].sharding
+            # stacked (layers, in, heads, dim): heads axis sharded
+            assert kernel_sharding.spec == jax.sharding.PartitionSpec(
+                None, None, 'model', None)
+        step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                            num_classes=NUM_CLASSES)
+        data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+        ls = []
+        for i in range(2):
+            state, m = step_fn(state, data.batch(i), jax.random.PRNGKey(0))
+            ls.append(float(m['loss']))
+        losses[mp] = ls
+    np.testing.assert_allclose(losses[1], losses[2], rtol=2e-3)
+
+
+def test_dropout_and_stoch_depth_under_scan():
+    """CaiT with active dropout + stochastic depth trains under nn.scan —
+    the RNG-plumbing gap that broke the reference (SURVEY §3.4)."""
+    from sav_tpu.models import CaiT
+    mesh = create_mesh()
+    model = CaiT(num_classes=NUM_CLASSES, num_layers=3,
+                 num_layers_token_only=1, num_heads=4, embed_dim=64,
+                 patch_shape=(16, 16), stoch_depth_rate=0.3,
+                 layerscale_eps=1e-5, dropout_rate=0.1,
+                 attn_dropout_rate=0.1, scan_layers=True)
+    tx = build_optimizer(1e-3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    state = steps_lib.shard_state(mesh, TrainState.create(variables, tx))
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        donate=False)
+    data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    s1, m1 = step_fn(state, data.batch(0), jax.random.PRNGKey(0))
+    s2, _ = step_fn(state, data.batch(0), jax.random.PRNGKey(0))
+    s3, _ = step_fn(state, data.batch(0), jax.random.PRNGKey(7))
+    assert np.isfinite(float(m1['loss']))
+
+    def head_kernel(s):
+        return np.asarray(jax.device_get(s.params['Dense_0']['kernel']))
+
+    # same rng -> identical stochastic regularization -> identical update;
+    # different rng -> different dropout/stoch-depth masks -> different grads
+    np.testing.assert_array_equal(head_kernel(s1), head_kernel(s2))
+    assert not np.array_equal(head_kernel(s1), head_kernel(s3))
