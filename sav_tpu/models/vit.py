@@ -26,6 +26,7 @@ class EncoderBlock(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -42,7 +43,8 @@ class EncoderBlock(nn.Module):
         y = FFBlock(expand_ratio=self.expand_ratio,
                     dropout_rate=self.dropout_rate,
                     activation_fn=self.activation_fn,
-                    dtype=self.dtype)(y, is_training=is_training)
+                    dtype=self.dtype,
+                    quantized=self.quantized)(y, is_training=is_training)
         return x + y
 
 
@@ -72,6 +74,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
     scan_layers: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -84,7 +87,8 @@ class Encoder(nn.Module):
                             dropout_rate=self.dropout_rate,
                             activation_fn=self.activation_fn,
                             dtype=self.dtype,
-                            use_kernel=self.use_kernel)
+                            use_kernel=self.use_kernel,
+                            quantized=self.quantized)
         if self.scan_layers:
             scanned = nn.scan(ScanEncoderBlock,
                               variable_axes={'params': 0},
@@ -114,6 +118,7 @@ class ViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
     scan_layers: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -136,7 +141,8 @@ class ViT(nn.Module):
                     activation_fn=self.activation_fn,
                     dtype=self.dtype,
                     use_kernel=self.use_kernel,
-                    scan_layers=self.scan_layers)(x, is_training=is_training)
+                    scan_layers=self.scan_layers,
+                    quantized=self.quantized)(x, is_training=is_training)
 
         return nn.Dense(features=self.num_classes,
                         dtype=self.dtype,

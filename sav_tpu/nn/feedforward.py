@@ -24,18 +24,35 @@ def _hidden_width(in_ch: int, expand_ratio: Optional[float],
 
 
 class FFBlock(nn.Module):
-    """Transformer MLP: Dense -> activation -> dropout -> Dense -> dropout."""
+    """Transformer MLP: Dense -> activation -> dropout -> Dense -> dropout.
+
+    ``quantized=True`` routes both matmuls through the experimental int8
+    forward path (parameter layout unchanged — 'Dense_0'/'Dense_1')."""
 
     expand_ratio: Optional[float] = None
     hidden_ch: Optional[int] = None
     dropout_rate: float = 0.0
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
         in_ch = inputs.shape[-1]
         hidden_ch = _hidden_width(in_ch, self.expand_ratio, self.hidden_ch)
+        if self.quantized:
+            from sav_tpu.nn.quantized_dense import QuantizedDense
+
+            def dense(features, name):
+                return QuantizedDense(features=features, use_bias=True,
+                                      dtype=self.dtype, name=name)
+            x = dense(hidden_ch, 'Dense_0')(inputs)
+            x = self.activation_fn(x)
+            x = nn.Dropout(rate=self.dropout_rate,
+                           deterministic=not is_training)(x)
+            x = dense(in_ch, 'Dense_1')(x)
+            return nn.Dropout(rate=self.dropout_rate,
+                              deterministic=not is_training)(x)
         dense = functools.partial(nn.Dense, use_bias=True, dtype=self.dtype)
 
         x = dense(features=hidden_ch)(inputs)

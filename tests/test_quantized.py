@@ -48,3 +48,31 @@ def test_quantized_dense_shapes():
     out = quantized.quantized_dense(x, kernel, bias)
     assert out.shape == (2, 7, 16)
     assert out.dtype == jnp.bfloat16
+
+
+def test_vit_quantized_tree_and_output():
+    """quantized=True keeps the exact param tree and stays numerically close
+    on the forward pass."""
+    from sav_tpu.models import ViT
+    kwargs = dict(num_classes=10, num_layers=2, num_heads=4, embed_dim=64,
+                  patch_shape=(16, 16))
+    base = ViT(**kwargs)
+    quant = ViT(**kwargs, quantized=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+
+    v_base = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v_quant = quant.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda v: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(v)[0]}
+    assert paths(v_base) == paths(v_quant)
+
+    # the classifier head is zero-init; randomize it so logits carry signal
+    head = v_base['params']['Dense_0']
+    head['kernel'] = jax.random.normal(jax.random.PRNGKey(2),
+                                       head['kernel'].shape) * 0.1
+
+    a = base.apply(v_base, x, is_training=False)
+    b = quant.apply(v_base, x, is_training=False)  # same params
+    # int8 forward: close but not equal
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 0.5
