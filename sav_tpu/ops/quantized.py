@@ -24,18 +24,20 @@ import jax.numpy as jnp
 def quantize_symmetric(x: jax.Array, axis: int):
     """Per-slice symmetric int8 quantization along ``axis``'s complement.
 
-    Returns (int8 values, f32 scale broadcastable against x).
+    Returns (int8 values, f32 scale broadcastable against x). Quantization
+    math stays in x's dtype (bf16 mantissa suffices for int8 targets) to
+    avoid f32 transients of activation-sized arrays.
     """
     absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    scale = jnp.maximum(absmax, jnp.asarray(1e-8, x.dtype)) / 127.0
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
 
 
 def int8_matmul_raw(a: jax.Array, b: jax.Array) -> jax.Array:
     """f32-ish matmul computed via dynamic int8: a [M, K] @ b [K, N]."""
-    qa, sa = quantize_symmetric(a.astype(jnp.float32), axis=1)   # per-row
-    qb, sb = quantize_symmetric(b.astype(jnp.float32), axis=0)   # per-col
+    qa, sa = quantize_symmetric(a, axis=1)   # per-row
+    qb, sb = quantize_symmetric(b, axis=0)   # per-col
     acc = jax.lax.dot_general(qa, qb, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * sa * sb
