@@ -25,12 +25,14 @@ def topk_correct(logits: jax.Array,
       labels: ``[batch]`` integer labels.
       mask: optional ``[batch]`` validity mask.
     """
-    max_k = max(topk)
+    num_classes = logits.shape[-1]
+    max_k = min(max(topk), num_classes)   # k may exceed tiny class counts
     _, pred = jax.lax.top_k(logits, max_k)  # [batch, max_k], best first
     hits = (pred == labels[..., None].astype(pred.dtype))
     metrics = {}
     for k in topk:
-        correct = hits[..., :k].any(axis=-1).astype(jnp.float32)
+        correct = hits[..., :min(k, num_classes)].any(
+            axis=-1).astype(jnp.float32)
         if mask is not None:
             correct = correct * mask
         metrics[f'{prefix}top_{k}_acc'] = correct
