@@ -15,7 +15,6 @@ of per-op warp code.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

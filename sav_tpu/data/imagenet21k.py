@@ -93,8 +93,6 @@ def prepare_npz_shards(archive_path: str, out_dir: str,
     """
     from PIL import Image
 
-    from sav_tpu.data.grain_loader import write_npz_shards
-
     label_of = {}
     images, labels, paths = [], [], []
     os.makedirs(out_dir, exist_ok=True)

@@ -15,7 +15,7 @@ names. Four reference factory bugs are fixed, keeping the names:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import jax.numpy as jnp
 

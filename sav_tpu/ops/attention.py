@@ -18,7 +18,6 @@ Semantics match the reference attention math
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -15,8 +15,6 @@ validation first (docs/ROADMAP.md). Opt-in via direct use.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ these streams at all (SURVEY §3.4), so CaiT-style training crashed there.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
