@@ -53,6 +53,7 @@ class TrainConfig:
     total_steps: Optional[int] = None       # overrides epoch math if set
     model_parallelism: int = 1
     remat: bool = False                 # jax.checkpoint the forward pass
+    scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
     log_every: int = 100
     eval_every_epochs: int = 5
@@ -104,9 +105,13 @@ class Trainer:
         self.mesh = create_mesh(
             model_parallelism=config.model_parallelism,
             hybrid=jax.process_count() > 1)
+        model_kwargs = {}
+        if config.scan_layers:
+            model_kwargs['scan_layers'] = True
         self.model = create_model(config.model_name,
                                   num_classes=config.num_classes,
-                                  dtype=jnp.dtype(config.dtype))
+                                  dtype=jnp.dtype(config.dtype),
+                                  **model_kwargs)
         self.schedule = warmup_cosine_schedule(
             config.lr, config.batch_size, config.steps_per_epoch)
         self.tx = build_optimizer(self.schedule,

@@ -65,11 +65,15 @@ from sav_tpu.train import TrainConfig, Trainer
                  help='tensor-parallel mesh axis size')
 @optgroup.option('--total_steps', type=int, default=None,
                  help='override total step count (smoke tests)')
+@optgroup.option('--scan_layers/--no-scan_layers', default=False,
+                 help='nn.scan over encoder depth (fast compiles)')
+@optgroup.option('--remat/--no-remat', default=False,
+                 help='rematerialize the forward during backprop')
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
-         use_wandb):
+         scan_layers, remat, use_wandb):
     config = TrainConfig(
         model_name=model_name,
         img_size=img_size,
@@ -86,6 +90,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         dataset='synthetic' if data_dir == 'synthetic' else data_dir,
         model_parallelism=model_parallelism,
         total_steps=total_steps,
+        scan_layers=scan_layers,
+        remat=remat,
     )
     metrics = Trainer(config, use_wandb=use_wandb).run()
     click.echo(f'final metrics: {metrics}')
