@@ -116,3 +116,25 @@ def test_hybrid_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-4,
                                    err_msg=f'd{name} mismatch')
+
+
+@pytest.mark.parametrize('mode', [True, 'hybrid'])
+def test_vit_forward_with_forced_kernel_paths(mode):
+    """Model-level integration: forcing kernel/hybrid attention inside ViT
+    matches the jnp path (interpret mode on CPU)."""
+    from sav_tpu.models import ViT
+    kwargs = dict(num_classes=10, num_layers=1, num_heads=2, embed_dim=64,
+                  patch_shape=(16, 16))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 3))
+    base = ViT(**kwargs, use_kernel=False)
+    variables = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    # randomize the zero-init head so logits carry signal
+    variables['params']['Dense_0']['kernel'] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        variables['params']['Dense_0']['kernel'].shape) * 0.1
+
+    want = base.apply(variables, x, is_training=False)
+    got = ViT(**kwargs, use_kernel=mode).apply(variables, x,
+                                               is_training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
