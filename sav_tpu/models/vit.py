@@ -26,6 +26,7 @@ class EncoderBlock(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    fused_qkv: bool = False
     quantized: bool = False
 
     @nn.compact
@@ -35,7 +36,8 @@ class EncoderBlock(nn.Module):
                                attn_dropout_rate=self.attn_dropout_rate,
                                out_dropout_rate=self.dropout_rate,
                                dtype=self.dtype,
-                               use_kernel=self.use_kernel)(
+                               use_kernel=self.use_kernel,
+                               fused_qkv=self.fused_qkv)(
                                    x, is_training=is_training)
         x = x + inputs
 
@@ -73,6 +75,7 @@ class Encoder(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    fused_qkv: bool = False
     scan_layers: bool = False
     quantized: bool = False
 
@@ -88,6 +91,7 @@ class Encoder(nn.Module):
                             activation_fn=self.activation_fn,
                             dtype=self.dtype,
                             use_kernel=self.use_kernel,
+                            fused_qkv=self.fused_qkv,
                             quantized=self.quantized)
         if self.scan_layers:
             scanned = nn.scan(ScanEncoderBlock,
@@ -117,6 +121,7 @@ class ViT(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    fused_qkv: bool = False
     scan_layers: bool = False
     quantized: bool = False
 
@@ -141,6 +146,7 @@ class ViT(nn.Module):
                     activation_fn=self.activation_fn,
                     dtype=self.dtype,
                     use_kernel=self.use_kernel,
+                    fused_qkv=self.fused_qkv,
                     scan_layers=self.scan_layers,
                     quantized=self.quantized)(x, is_training=is_training)
 

@@ -39,13 +39,54 @@ class TalkingHeadsBlock(nn.Module):
         return attention_ops.head_mix(inputs, transform)
 
 
+class _ProjectionParams(nn.Module):
+    """DenseGeneral-compatible q/k/v parameters without the matmul.
+
+    Declares the same ``kernel`` (``[in_ch, heads, head_dim]``) and optional
+    ``bias`` (``[heads, head_dim]``) leaves as the reference's
+    ``nn.DenseGeneral`` projections (models/layers/attentions/attention.py:
+    29-37) and returns them raw, so the caller can concatenate several
+    projections into one wide matmul (fused qkv) while keeping the checkpoint
+    layout unchanged.
+    """
+
+    in_ch: int
+    num_heads: int
+    head_ch: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            'kernel',
+            # lecun-normal over the flattened (in, heads*head_dim) fans,
+            # matching DenseGeneral's multi-axis init semantics
+            nn.initializers.variance_scaling(
+                1.0, 'fan_in', 'truncated_normal',
+                in_axis=0, out_axis=(1, 2)),
+            (self.in_ch, self.num_heads, self.head_ch))
+        bias = (self.param('bias', nn.initializers.zeros,
+                           (self.num_heads, self.head_ch))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class AttentionBlock(nn.Module):
     """Multi-head (cross-)attention with optional talking heads.
 
     Matches the reference semantics (models/layers/attentions/attention.py:
-    10-67): q/k/v via DenseGeneral into ``(heads, head_dim)``, scaled-dot
+    10-67): q/kv via DenseGeneral into ``(heads, head_dim)``, scaled-dot
     softmax with optional pre/post-softmax head mixing, attention dropout,
     merged output projection, output dropout.
+
+    ``fused_qkv=True`` issues the three ``[D, h*d]`` projection matmuls as
+    ONE ``[D, 3*h*d]`` matmul (``[D, 2*h*d]`` for cross-attention k/v);
+    parameters stay three separate leaves (``queries/keys/values``) so
+    checkpoints are unchanged and the math is identical. It is OFF by
+    default: measured on ViT-B/16 @224 bs=192 (v5e) the full train step is
+    10% SLOWER fused (215.9 vs 193.5 ms/step) — the concat/split boundary
+    around the wide matmul costs XLA more in fusion/layout than the wider
+    MXU op gains at these shapes (see docs/PERFORMANCE.md).
     """
 
     num_heads: int
@@ -57,6 +98,7 @@ class AttentionBlock(nn.Module):
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, inputs_q, inputs_kv, is_training: bool):
@@ -66,16 +108,20 @@ class AttentionBlock(nn.Module):
         head_ch = self.head_ch or in_ch // self.num_heads
         out_ch = self.out_ch or in_ch
 
-        projection = functools.partial(
-            nn.DenseGeneral,
-            axis=-1,
-            features=(self.num_heads, head_ch),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-        )
-        query = projection(name='queries')(inputs_q)
-        key = projection(name='keys')(inputs_kv)
-        value = projection(name='values')(inputs_kv)
+        if self.fused_qkv:
+            query, key, value = self._fused_projections(
+                inputs_q, inputs_kv, in_ch, head_ch)
+        else:
+            projection = functools.partial(
+                nn.DenseGeneral,
+                axis=-1,
+                features=(self.num_heads, head_ch),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+            )
+            query = projection(name='queries')(inputs_q)
+            key = projection(name='keys')(inputs_kv)
+            value = projection(name='values')(inputs_kv)
 
         pre_mix = post_mix = None
         if self.talking_heads:
@@ -102,6 +148,39 @@ class AttentionBlock(nn.Module):
         output = nn.Dropout(rate=self.out_dropout_rate)(
             output, deterministic=not is_training)
         return output
+
+    def _fused_projections(self, inputs_q, inputs_kv, in_ch, head_ch):
+        """q/k/v via one (self-attn) or two (cross-attn) wide matmuls."""
+        params = functools.partial(
+            _ProjectionParams,
+            in_ch=in_ch, num_heads=self.num_heads, head_ch=head_ch,
+            use_bias=self.use_bias)
+        q_kernel, q_bias = params(name='queries')()
+        k_kernel, k_bias = params(name='keys')()
+        v_kernel, v_bias = params(name='values')()
+
+        def project(inputs, kernels, biases):
+            wide = jnp.concatenate(
+                [k.reshape(in_ch, -1) for k in kernels], axis=-1)
+            inputs, wide = nn.dtypes.promote_dtype(inputs, wide,
+                                                   dtype=self.dtype)
+            out = inputs @ wide
+            outs = jnp.split(out, len(kernels), axis=-1)
+            outs = [o.reshape(o.shape[:-1] + (self.num_heads, head_ch))
+                    for o in outs]
+            if self.use_bias:
+                outs = [o + b.astype(o.dtype)
+                        for o, b in zip(outs, biases)]
+            return outs
+
+        if inputs_q is inputs_kv:
+            return project(inputs_q,
+                           (q_kernel, k_kernel, v_kernel),
+                           (q_bias, k_bias, v_bias))
+        (query,) = project(inputs_q, (q_kernel,), (q_bias,))
+        key, value = project(inputs_kv, (k_kernel, v_kernel),
+                             (k_bias, v_bias))
+        return query, key, value
 
 
 class SelfAttentionBlock(AttentionBlock):

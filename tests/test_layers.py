@@ -126,3 +126,27 @@ def test_layer_scale():
     out, variables = block.init_with_output(jax.random.PRNGKey(0), x)
     np.testing.assert_allclose(np.asarray(out), 1e-4 * np.ones((2, 3, 8)),
                                rtol=1e-6)
+
+
+def test_fused_qkv_matches_unfused():
+    """fused_qkv=True (one wide matmul) must equal the DenseGeneral path,
+    for self-attention and cross-attention, with and without bias."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+    for use_bias in (False, True):
+        unfused = blocks.AttentionBlock(num_heads=4, use_bias=use_bias,
+                                        fused_qkv=False, use_kernel=False)
+        fused = blocks.AttentionBlock(num_heads=4, use_bias=use_bias,
+                                      fused_qkv=True, use_kernel=False)
+        variables = unfused.init(jax.random.PRNGKey(2), x, x,
+                                 is_training=False)
+        fused_variables = fused.init(jax.random.PRNGKey(2), x, x,
+                                     is_training=False)
+        # identical param trees (checkpoint compatibility)
+        chex.assert_trees_all_equal_shapes(variables, fused_variables)
+
+        for kv in (x, ctx):  # self- and cross-attention
+            a = unfused.apply(variables, x, kv, is_training=False)
+            b = fused.apply(variables, x, kv, is_training=False)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
