@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +52,9 @@ class TrainConfig:
     images_per_epoch: int = IMAGENET_TRAIN_IMAGES
     total_steps: Optional[int] = None       # overrides epoch math if set
     model_parallelism: int = 1
-    remat: bool = False                 # jax.checkpoint the forward pass
+    # False | True/'full' | 'dots' | 'dots_no_batch' (steps.REMAT_POLICIES)
+    remat: Union[bool, str] = False
+    mu_dtype: Optional[str] = None      # e.g. 'bfloat16' first Adam moment
     scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
     log_every: int = 100
@@ -116,7 +118,8 @@ class Trainer:
             config.lr, config.batch_size, config.steps_per_epoch)
         self.tx = build_optimizer(self.schedule,
                                   weight_decay=config.weight_decay,
-                                  clip_grad=config.clip_grad)
+                                  clip_grad=config.clip_grad,
+                                  mu_dtype=config.mu_dtype)
         self.logger = MetricLogger(use_wandb=use_wandb)
         self.checkpoints = (CheckpointManager(config.checkpoint_dir)
                             if config.checkpoint_dir else None)

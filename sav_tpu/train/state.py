@@ -27,12 +27,21 @@ def build_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
-    """Reference-recipe optimizer: clip | adam | weight decay | -lr."""
+    """Reference-recipe optimizer: clip | adam | weight decay | -lr.
+
+    ``mu_dtype='bfloat16'`` stores the first Adam moment in bf16 (params and
+    the second moment stay f32): for ViT-B that frees ~172 MB of HBM for
+    activations — i.e. larger batches — at negligible quality cost (the
+    first moment is a smooth EMA; the variance term, which sets the update
+    scale, keeps full precision).
+    """
     parts = []
     if clip_grad is not None:
         parts.append(optax.clip_by_global_norm(clip_grad))
-    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps,
+                                     mu_dtype=mu_dtype))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     if callable(learning_rate):

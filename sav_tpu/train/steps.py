@@ -45,9 +45,31 @@ def blended_targets(batch: Dict[str, jax.Array], num_classes: int,
     return y
 
 
+# Rematerialization modes for the backward pass: True/'full' recomputes the
+# whole forward (max memory savings, ~30%+ recompute cost); 'dots' saves all
+# matmul outputs and recomputes only elementwise ops (LN/gelu/softmax — cheap
+# VPU recompute, frees the elementwise intermediates); 'dots_no_batch'
+# additionally recomputes batched matmuls (the attention logits/value
+# einsums), the standard transformer policy — activations kept are just the
+# projection outputs.
+REMAT_POLICIES = {
+    'full': None,
+    'dots': jax.checkpoint_policies.checkpoint_dots,
+    'dots_no_batch': jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+
+def apply_remat(forward, remat):
+    """Wraps ``forward`` in jax.checkpoint per a remat mode (bool or name)."""
+    if not remat:
+        return forward
+    policy = REMAT_POLICIES[remat if isinstance(remat, str) else 'full']
+    return jax.checkpoint(forward, policy=policy)
+
+
 def train_step(state: TrainState, batch: Dict[str, jax.Array],
                rng: jax.Array, *, model, tx, num_classes: int,
-               label_smoothing: float, remat: bool = False):
+               label_smoothing: float, remat: bool | str = False):
     """One optimizer step; returns (new_state, metrics)."""
     step_rng = jax.random.fold_in(rng, state.step)
     rngs = {'dropout': jax.random.fold_in(step_rng, 0),
@@ -60,9 +82,7 @@ def train_step(state: TrainState, batch: Dict[str, jax.Array],
         return model.apply(variables, images, is_training=True,
                            rngs=rngs, mutable=['batch_stats'])
 
-    if remat:
-        # trade FLOPs for memory: recompute the forward during backprop
-        forward = jax.checkpoint(forward)
+    forward = apply_remat(forward, remat)
 
     def loss_fn(params):
         images = batch['images'].astype(model.dtype)

@@ -321,3 +321,56 @@ def test_dropout_and_stoch_depth_under_scan():
     # different rng -> different dropout/stoch-depth masks -> different grads
     np.testing.assert_array_equal(head_kernel(s1), head_kernel(s2))
     assert not np.array_equal(head_kernel(s1), head_kernel(s3))
+
+
+def test_remat_policies_match_no_remat():
+    """Every remat mode is a pure recompute schedule: identical numerics."""
+    mesh, model, tx, state = tiny_setup()
+    data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    rng = jax.random.PRNGKey(0)
+    batch = data.batch(0)
+
+    def one_step(remat):
+        step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                            num_classes=NUM_CLASSES,
+                                            label_smoothing=0.1,
+                                            donate=False, remat=remat)
+        new_state, metrics = step_fn(state, batch, rng)
+        return float(metrics['loss']), new_state.params
+
+    ref_loss, ref_params = one_step(False)
+    for remat in (True, 'full', 'dots', 'dots_no_batch'):
+        loss, params = one_step(remat)
+        assert loss == ref_loss, remat
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), ref_params, params)
+
+
+def test_mu_dtype_storage_and_descent():
+    """mu_dtype=bfloat16 stores the first moment in bf16 and still trains."""
+    mesh = create_mesh()
+    from sav_tpu.models import ViT
+    model = ViT(num_classes=NUM_CLASSES, num_layers=2, num_heads=4,
+                embed_dim=64, patch_shape=(16, 16))
+    tx = build_optimizer(1e-2, weight_decay=1e-4, mu_dtype='bfloat16')
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    state = TrainState.create(variables, tx)
+    state = steps_lib.shard_state(mesh, state)
+
+    mus = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+           if getattr(l, 'dtype', None) == jnp.bfloat16]
+    assert mus, 'no bf16 moment leaves found'
+
+    data = SyntheticDataset(16, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        label_smoothing=0.1)
+    rng = jax.random.PRNGKey(0)
+    batch = data.batch(0)
+    losses = []
+    for _ in range(10):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics['loss']))
+    assert losses[-1] < losses[0]

@@ -67,13 +67,21 @@ from sav_tpu.train import TrainConfig, Trainer
                  help='override total step count (smoke tests)')
 @optgroup.option('--scan_layers/--no-scan_layers', default=False,
                  help='nn.scan over encoder depth (fast compiles)')
-@optgroup.option('--remat/--no-remat', default=False,
-                 help='rematerialize the forward during backprop')
+@optgroup.option('--remat',
+                 type=click.Choice(['none', 'full', 'dots',
+                                    'dots_no_batch']),
+                 default='none',
+                 help='backward rematerialization policy: full recomputes '
+                      'the whole forward; dots saves matmul outputs; '
+                      'dots_no_batch also recomputes batched (attention) '
+                      'matmuls')
+@optgroup.option('--mu_dtype', type=str, default=None,
+                 help="first-Adam-moment dtype (e.g. 'bfloat16')")
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
-         scan_layers, remat, use_wandb):
+         scan_layers, remat, mu_dtype, use_wandb):
     config = TrainConfig(
         model_name=model_name,
         img_size=img_size,
@@ -91,7 +99,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         model_parallelism=model_parallelism,
         total_steps=total_steps,
         scan_layers=scan_layers,
-        remat=remat,
+        remat=False if remat == 'none' else remat,
+        mu_dtype=mu_dtype,
     )
     metrics = Trainer(config, use_wandb=use_wandb).run()
     click.echo(f'final metrics: {metrics}')
