@@ -24,7 +24,8 @@ from sav_tpu.parallel.mesh import create_mesh, maybe_initialize_distributed
 from sav_tpu.train import steps as steps_lib
 from sav_tpu.train.checkpoint import CheckpointManager
 from sav_tpu.train.state import (TrainState, build_optimizer,
-                                 warmup_cosine_schedule)
+                                 warmup_cosine_schedule,
+                                 warmup_stable_decay_schedule)
 
 IMAGENET_TRAIN_IMAGES = 1_281_167
 
@@ -55,6 +56,8 @@ class TrainConfig:
     # False | True/'full' | 'dots' | 'dots_no_batch' (steps.REMAT_POLICIES)
     remat: Union[bool, str] = False
     mu_dtype: Optional[str] = None      # e.g. 'bfloat16' first Adam moment
+    ema_decay: Optional[float] = None   # params EMA; eval uses the average
+    schedule: str = 'cosine'            # 'cosine' | 'wsd'
     scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
     log_every: int = 100
@@ -114,8 +117,15 @@ class Trainer:
                                   num_classes=config.num_classes,
                                   dtype=jnp.dtype(config.dtype),
                                   **model_kwargs)
-        self.schedule = warmup_cosine_schedule(
-            config.lr, config.batch_size, config.steps_per_epoch)
+        if config.schedule == 'wsd':
+            peak = config.lr * (config.batch_size / 512)
+            self.schedule = warmup_stable_decay_schedule(
+                peak, config.steps_total,
+                warmup_steps=5 * config.steps_per_epoch,
+                decay_steps=max(1, config.steps_total // 10))
+        else:
+            self.schedule = warmup_cosine_schedule(
+                config.lr, config.batch_size, config.steps_per_epoch)
         self.tx = build_optimizer(self.schedule,
                                   weight_decay=config.weight_decay,
                                   clip_grad=config.clip_grad,
@@ -131,7 +141,8 @@ class Trainer:
             {'params': self.init_rng},
             jnp.ones((1, config.img_size, config.img_size, 3)),
             is_training=False)
-        state = TrainState.create(variables, self.tx)
+        state = TrainState.create(variables, self.tx,
+                                   ema=config.ema_decay is not None)
         state = steps_lib.shard_state(self.mesh, state)
 
         if self.checkpoints is not None:
@@ -145,9 +156,10 @@ class Trainer:
             self.model, self.tx, self.mesh, state,
             num_classes=config.num_classes,
             label_smoothing=config.label_smoothing,
-            remat=config.remat)
+            remat=config.remat, ema_decay=config.ema_decay)
         self.eval_step = steps_lib.make_eval_step(
-            self.model, self.mesh, state, num_classes=config.num_classes)
+            self.model, self.mesh, state, num_classes=config.num_classes,
+            use_ema=config.ema_decay is not None)
 
     def _dataset(self, seed_offset: int = 0) -> SyntheticDataset:
         c = self.config
@@ -243,7 +255,8 @@ class Trainer:
             self.model, self.tx, self.mesh, self.state, batch_fn,
             steps_per_call=c.steps_per_dispatch,
             num_classes=c.num_classes,
-            label_smoothing=c.label_smoothing, remat=c.remat)
+            label_smoothing=c.label_smoothing, remat=c.remat,
+            ema_decay=c.ema_decay)
 
         last_metrics: Dict[str, float] = {}
         step = int(jax.device_get(self.state.step))

@@ -68,37 +68,79 @@ def warmup_cosine_schedule(base_lr: float,
         end_value=end_value)
 
 
+def warmup_stable_decay_schedule(peak_lr: float,
+                                 total_steps: int,
+                                 warmup_steps: int,
+                                 decay_steps: int,
+                                 end_value: float = 1e-5):
+    """WSD: linear warmup -> constant plateau -> linear decay to end_value.
+
+    Unlike cosine, the plateau makes intermediate checkpoints directly
+    comparable and the decay phase can be re-run from any plateau checkpoint
+    (extension beyond the reference's cosine-only recipe, train.py:214-220).
+    """
+    stable_steps = max(0, total_steps - warmup_steps - decay_steps)
+    return optax.join_schedules([
+        optax.linear_schedule(0.0, peak_lr, warmup_steps),
+        optax.constant_schedule(peak_lr),
+        optax.linear_schedule(peak_lr, end_value, decay_steps),
+    ], boundaries=[warmup_steps, warmup_steps + stable_steps])
+
+
 class TrainState(flax.struct.PyTreeNode):
-    """Pure pytree of everything a train step updates."""
+    """Pure pytree of everything a train step updates.
+
+    ``ema_params`` (optional) is an exponential moving average of the
+    parameters, updated after every optimizer step and usable for evaluation
+    — a standard ingredient of the DeiT-style recipe the reference targets
+    but never implemented (reference has no EMA anywhere).
+    """
 
     step: jax.Array
     params: Any
     batch_stats: Any
     opt_state: Any
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, variables, tx: optax.GradientTransformation):
+    def create(cls, variables, tx: optax.GradientTransformation,
+               ema: bool = False):
         params = variables['params']
         return cls(
             step=jax.numpy.zeros((), jax.numpy.int32),
             params=params,
             batch_stats=variables.get('batch_stats', {}),
             opt_state=tx.init(params),
+            # genuine copies: aliasing the param buffers would donate the
+            # same buffer twice in donated train steps (observed deadlock in
+            # the CPU collective executor)
+            ema_params=jax.tree_util.tree_map(jax.numpy.copy, params)
+            if ema else None,
         )
 
-    def variables(self):
-        v = {'params': self.params}
+    def variables(self, use_ema: bool = False):
+        params = self.params
+        if use_ema and self.ema_params is not None:
+            params = self.ema_params
+        v = {'params': params}
         if self.batch_stats:
             v['batch_stats'] = self.batch_stats
         return v
 
     def apply_gradients(self, tx: optax.GradientTransformation, grads,
-                        new_batch_stats=None):
+                        new_batch_stats=None, ema_decay=None):
         updates, opt_state = tx.update(grads, self.opt_state, self.params)
         params = optax.apply_updates(self.params, updates)
+        ema_params = self.ema_params
+        if ema_params is not None and ema_decay is not None:
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype)
+                * (1.0 - ema_decay),
+                ema_params, params)
         return self.replace(
             step=self.step + 1,
             params=params,
             batch_stats=(self.batch_stats if new_batch_stats is None
                          else new_batch_stats),
-            opt_state=opt_state)
+            opt_state=opt_state,
+            ema_params=ema_params)

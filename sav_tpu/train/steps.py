@@ -69,7 +69,8 @@ def apply_remat(forward, remat):
 
 def train_step(state: TrainState, batch: Dict[str, jax.Array],
                rng: jax.Array, *, model, tx, num_classes: int,
-               label_smoothing: float, remat: bool | str = False):
+               label_smoothing: float, remat: bool | str = False,
+               ema_decay=None):
     """One optimizer step; returns (new_state, metrics)."""
     step_rng = jax.random.fold_in(rng, state.step)
     rngs = {'dropout': jax.random.fold_in(step_rng, 0),
@@ -99,16 +100,18 @@ def train_step(state: TrainState, batch: Dict[str, jax.Array],
     acc = topk_correct(logits, batch['labels'], prefix='train_')
     metrics.update(jax.tree_util.tree_map(jnp.mean, acc))
 
-    new_state = state.apply_gradients(tx, grads, new_stats)
+    new_state = state.apply_gradients(tx, grads, new_stats,
+                                      ema_decay=ema_decay)
     return new_state, metrics
 
 
 def eval_step(state: TrainState, batch: Dict[str, jax.Array], *, model,
-              num_classes: int):
+              num_classes: int, use_ema: bool = False):
     """Summed loss/correct counts over valid examples (mask-aware so padded
     eval batches don't skew the average)."""
     images = batch['images'].astype(model.dtype)
-    logits = model.apply(state.variables(), images, is_training=False)
+    logits = model.apply(state.variables(use_ema=use_ema), images,
+                         is_training=False)
     logits = logits.astype(jnp.float32)
     y = jax.nn.one_hot(batch['labels'], num_classes)
     per_example = optax.softmax_cross_entropy(logits, y)
@@ -156,12 +159,13 @@ def shard_batch(mesh: Mesh, batch):
 
 def make_train_step(model, tx, mesh: Mesh, state: TrainState,
                     num_classes: int = 1000, label_smoothing: float = 0.0,
-                    donate: bool = True, remat: bool = False):
+                    donate: bool = True, remat: bool = False,
+                    ema_decay=None):
     """Builds the jitted train step with explicit in/out shardings."""
     step = functools.partial(train_step, model=model, tx=tx,
                              num_classes=num_classes,
                              label_smoothing=label_smoothing,
-                             remat=remat)
+                             remat=remat, ema_decay=ema_decay)
     state_sh = _tree_shardings(mesh, state)
     batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     repl = NamedSharding(mesh, P())
@@ -174,8 +178,9 @@ def make_train_step(model, tx, mesh: Mesh, state: TrainState,
 
 
 def make_eval_step(model, mesh: Mesh, state: TrainState,
-                   num_classes: int = 1000):
-    step = functools.partial(eval_step, model=model, num_classes=num_classes)
+                   num_classes: int = 1000, use_ema: bool = False):
+    step = functools.partial(eval_step, model=model, num_classes=num_classes,
+                             use_ema=use_ema)
     state_sh = _tree_shardings(mesh, state)
     batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     repl = NamedSharding(mesh, P())
@@ -187,7 +192,8 @@ def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
                             batch_fn, steps_per_call: int,
                             num_classes: int = 1000,
                             label_smoothing: float = 0.0,
-                            remat: bool = False, donate: bool = True):
+                            remat: bool = False, donate: bool = True,
+                            ema_decay=None):
     """N train steps per dispatch, batches generated on device.
 
     ``batch_fn(step_index)`` must be traceable (e.g.
@@ -200,7 +206,8 @@ def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
     """
     step = functools.partial(train_step, model=model, tx=tx,
                              num_classes=num_classes,
-                             label_smoothing=label_smoothing, remat=remat)
+                             label_smoothing=label_smoothing, remat=remat,
+                             ema_decay=ema_decay)
 
     def chained(state, rng):
         def body(carry, _):

@@ -374,3 +374,90 @@ def test_mu_dtype_storage_and_descent():
         state, metrics = step_fn(state, batch, rng)
         losses.append(float(metrics['loss']))
     assert losses[-1] < losses[0]
+
+
+def test_ema_params_track_slowly_and_eval_uses_them():
+    mesh = create_mesh()
+    from sav_tpu.models import ViT
+    model = ViT(num_classes=NUM_CLASSES, num_layers=2, num_heads=4,
+                embed_dim=64, patch_shape=(16, 16))
+    tx = build_optimizer(1e-2, weight_decay=0.0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    state = TrainState.create(variables, tx, ema=True)
+    state = steps_lib.shard_state(mesh, state)
+
+    data = SyntheticDataset(16, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    # donate=True is the regression case: an EMA tree aliasing the param
+    # buffers would donate the same buffer twice and wedge the executor
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        ema_decay=0.9, donate=True)
+    rng = jax.random.PRNGKey(0)
+    batch = data.batch(0)
+    init_params = jax.device_get(state.params)
+    for _ in range(5):
+        state, _ = step_fn(state, batch, rng)
+
+    def dist(a, b):
+        return sum(float(jnp.sum(jnp.abs(x - y))) for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+    params, ema = jax.device_get((state.params, state.ema_params))
+
+    # EMA lags the raw params: closer to the init than the live params are
+    assert dist(ema, init_params) < dist(params, init_params)
+    assert dist(ema, params) > 0
+
+    eval_fn = steps_lib.make_eval_step(model, mesh, state,
+                                       num_classes=NUM_CLASSES, use_ema=True)
+    out = eval_fn(state, data.batch(1))
+    assert float(out['eval_count']) == 16
+
+    # without ema enabled, state carries no extra tree
+    plain = TrainState.create(variables, tx)
+    assert plain.ema_params is None
+
+
+def test_warmup_stable_decay_schedule():
+    from sav_tpu.train.state import warmup_stable_decay_schedule
+    sched = warmup_stable_decay_schedule(1.0, total_steps=100,
+                                         warmup_steps=10, decay_steps=20,
+                                         end_value=0.1)
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(50)) == pytest.approx(1.0)   # plateau
+    assert float(sched(80)) == pytest.approx(1.0)   # plateau end
+    assert float(sched(100)) == pytest.approx(0.1)  # decayed
+    assert 0.1 < float(sched(90)) < 1.0
+
+
+def test_checkpoint_roundtrip_with_ema(tmp_path):
+    from sav_tpu.train.checkpoint import CheckpointManager
+    mesh = create_mesh()
+    from sav_tpu.models import ViT
+    model = ViT(num_classes=NUM_CLASSES, num_layers=2, num_heads=4,
+                embed_dim=64, patch_shape=(16, 16))
+    tx = build_optimizer(1e-2)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    state = steps_lib.shard_state(mesh,
+                                  TrainState.create(variables, tx, ema=True))
+    data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        ema_decay=0.9)
+    state, _ = step_fn(state, data.batch(0), jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(os.fspath(tmp_path / 'ckpt'))
+    mgr.save(1, state)
+    mgr.wait()
+    fresh = steps_lib.shard_state(
+        mesh, TrainState.create(
+            model.init(jax.random.PRNGKey(7), jnp.ones((1, IMG, IMG, 3)),
+                       is_training=False), tx, ema=True))
+    restored = mgr.restore(fresh)
+    mgr.close()
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

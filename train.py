@@ -77,11 +77,16 @@ from sav_tpu.train import TrainConfig, Trainer
                       'matmuls')
 @optgroup.option('--mu_dtype', type=str, default=None,
                  help="first-Adam-moment dtype (e.g. 'bfloat16')")
+@optgroup.option('--ema_decay', type=float, default=None,
+                 help='params EMA decay (e.g. 0.9999); eval uses the EMA')
+@optgroup.option('--schedule', type=click.Choice(['cosine', 'wsd']),
+                 default='cosine', help='LR schedule family')
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
-         scan_layers, remat, mu_dtype, use_wandb):
+         scan_layers, remat, mu_dtype, ema_decay, schedule,
+         use_wandb):
     config = TrainConfig(
         model_name=model_name,
         img_size=img_size,
@@ -101,6 +106,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         scan_layers=scan_layers,
         remat=False if remat == 'none' else remat,
         mu_dtype=mu_dtype,
+        ema_decay=ema_decay,
+        schedule=schedule,
     )
     metrics = Trainer(config, use_wandb=use_wandb).run()
     click.echo(f'final metrics: {metrics}')
