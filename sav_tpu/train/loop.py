@@ -194,8 +194,10 @@ class Trainer:
         c = self.config
         train_data = self._dataset()
         eval_data = self._dataset(seed_offset=1)
-        if c.steps_per_dispatch > 1 and c.dataset == 'synthetic':
-            return self._run_chained(eval_data)
+        if c.steps_per_dispatch > 1:
+            if c.dataset == 'synthetic':
+                return self._run_chained(eval_data)
+            return self._run_chained_host(train_data, eval_data)
         steps_per_eval = c.steps_per_epoch * c.eval_every_epochs
         steps_per_ckpt = c.steps_per_epoch * c.checkpoint_every_epochs
 
@@ -269,6 +271,46 @@ class Trainer:
             last_metrics = {k: float(v) for k, v in metrics.items()}
             last_metrics['images_per_sec'] = (
                 c.batch_size * c.steps_per_dispatch / elapsed)
+            last_metrics['learning_rate'] = float(self.schedule(step))
+            self.logger.log(last_metrics, step)
+            if self.checkpoints is not None:
+                self.checkpoints.save(step, self.state)
+
+        eval_metrics = self.evaluate(eval_data, c.eval_batches)
+        self.logger.log(eval_metrics, step)
+        last_metrics.update(eval_metrics)
+        if self.checkpoints is not None:
+            self.checkpoints.wait()
+        return last_metrics
+
+    def _run_chained_host(self, train_data, eval_data) -> Dict[str, float]:
+        """N steps per dispatch over real (host-loaded) data: batches are
+        stacked into one chunk and scanned on device, so the per-dispatch
+        round trip amortizes over N steps while the loader works ahead."""
+        c = self.config
+        chained = steps_lib.make_chained_train_step_over_batches(
+            self.model, self.tx, self.mesh, self.state,
+            num_classes=c.num_classes,
+            label_smoothing=c.label_smoothing, remat=c.remat,
+            ema_decay=c.ema_decay)
+
+        last_metrics: Dict[str, float] = {}
+        step = int(jax.device_get(self.state.step))
+        while step < c.steps_total:
+            n = min(c.steps_per_dispatch, c.steps_total - step)
+            try:
+                batches = [train_data.batch(step + i) for i in range(n)]
+            except StopIteration:
+                break
+            # a shorter tail chunk just jit-specializes once more
+            start = time.perf_counter()
+            self.state, metrics = chained(self.state, self.step_rng,
+                                          steps_lib.stack_batches(batches))
+            metrics = jax.device_get(metrics)
+            elapsed = time.perf_counter() - start
+            step += n
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            last_metrics['images_per_sec'] = c.batch_size * n / elapsed
             last_metrics['learning_rate'] = float(self.schedule(step))
             self.logger.log(last_metrics, step)
             if self.checkpoints is not None:

@@ -188,6 +188,51 @@ def make_eval_step(model, mesh: Mesh, state: TrainState,
                    out_shardings=repl)
 
 
+def stack_batches(batches):
+    """Stacks a list of batch dicts along a new leading (step) axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_chained_train_step_over_batches(model, tx, mesh: Mesh,
+                                         state: TrainState,
+                                         num_classes: int = 1000,
+                                         label_smoothing: float = 0.0,
+                                         remat: bool = False,
+                                         ema_decay=None,
+                                         donate: bool = True):
+    """N train steps per dispatch over HOST-provided batches.
+
+    Complements :func:`make_chained_train_step` (device-generated batches):
+    here the caller stacks N real data batches (``stack_batches``) and the
+    whole chunk runs as one ``lax.scan`` dispatch — the ~30 ms tunnel/
+    dispatch RTT is paid once per N steps instead of per step, while the
+    host loader (Grain) prepares the next chunk concurrently.
+
+    Returns a jitted ``fn(state, rng, stacked_batches) -> (state,
+    last_metrics)`` where every ``stacked_batches`` leaf has leading shape
+    ``[N, batch, ...]`` sharded over the data axis on dim 1.
+    """
+    step = functools.partial(train_step, model=model, tx=tx,
+                             num_classes=num_classes,
+                             label_smoothing=label_smoothing, remat=remat,
+                             ema_decay=ema_decay)
+
+    def chained(state, rng, batches):
+        def body(carry, batch):
+            new_state, metrics = step(carry, batch, rng)
+            return new_state, metrics
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    state_sh = _tree_shardings(mesh, state)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+    return jax.jit(chained,
+                   in_shardings=(state_sh, repl, batch_sh),
+                   out_shardings=(state_sh, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
 def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
                             batch_fn, steps_per_call: int,
                             num_classes: int = 1000,

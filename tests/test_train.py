@@ -461,3 +461,54 @@ def test_checkpoint_roundtrip_with_ema(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
                     jax.tree_util.tree_leaves(state.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_chained_steps_match_python_loop():
+    """make_chained_train_step_over_batches == per-step loop on real batches,
+    including an uneven tail chunk."""
+    mesh, model, tx, state = tiny_setup()
+    rng = jax.random.PRNGKey(0)
+    data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    batches = [data.batch(i) for i in range(5)]
+
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        donate=False)
+    s = state
+    for b in batches:
+        s, metrics = step_fn(s, b, rng)
+    loop_loss = float(metrics['loss'])
+
+    chained = steps_lib.make_chained_train_step_over_batches(
+        model, tx, mesh, state, num_classes=NUM_CLASSES, donate=False)
+    s2, _ = chained(state, rng, steps_lib.stack_batches(batches[:3]))
+    s2, metrics2 = chained(s2, rng, steps_lib.stack_batches(batches[3:]))
+    assert int(jax.device_get(s2.step)) == 5
+    np.testing.assert_allclose(float(metrics2['loss']), loop_loss, rtol=1e-5)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_trainer_host_chained_dispatch_grain(tmp_path):
+    """Trainer end-to-end: steps_per_dispatch>1 over a Grain npz-shard
+    source (the host-loader path, not device-synthetic)."""
+    from sav_tpu.data.grain_loader import write_npz_shards
+    from sav_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, (32, IMG, IMG, 3), dtype=np.uint8)
+    labels = rng.randint(0, NUM_CLASSES, size=32)
+    shard_dir = os.fspath(tmp_path / 'shards')
+    write_npz_shards(images, labels, shard_dir, shard_size=16)
+
+    config = TrainConfig(model_name='vit_ti_patch16', img_size=IMG,
+                         batch_size=8, total_steps=4, dtype='float32',
+                         num_classes=NUM_CLASSES, steps_per_dispatch=3,
+                         dataset=shard_dir, log_every=1,
+                         eval_every_epochs=10**6,
+                         checkpoint_every_epochs=10**6, eval_batches=1)
+    metrics = Trainer(config).run()
+    assert np.isfinite(metrics['loss'])
