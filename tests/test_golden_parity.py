@@ -94,3 +94,67 @@ def test_vit_b_patch16_factory_parity():
     ref = reference_models.create_model('vit_b_patch16', num_classes=1000)
     ours = sav_tpu.create_model('vit_b_patch16', num_classes=1000)
     _parity_check(ref, ours, 96)
+
+
+def test_botnet_param_tree_parity():
+    """BoTNet checkpoint compatibility vs the reference.
+
+    The reference BoTNet forward cannot run as published — it crashes on
+    undefined ``self.head_dim`` (botnet.py:185), a nonexistent
+    ``self.config`` (botnet.py:227,232), and SqueezeExcite calling the
+    pooled tensor (squeeze_excite.py:32-33). This test applies exactly those
+    three MINIMAL fixes to the reference source in memory (documented below)
+    and then asserts our model produces an identical parameter/batch-stats
+    tree, i.e. reference-shaped BoTNet checkpoints drop in.
+
+    Logits are intentionally NOT compared: even after the crash fixes, the
+    reference softmaxes over the last axis only and contracts the values
+    with an einsum that drops the key grid (botnet.py:194,198-200) — not
+    attention as published in the BoTNet paper. Our implementation follows
+    the paper; "reference numerics" are undefined here (SURVEY §7 item 6).
+    """
+    import inspect
+
+    import models.botnet as ref_botnet
+    import models.layers.squeeze_excite as ref_se
+
+    se_src = inspect.getsource(ref_se)
+    # fix 1: drop the spurious call of the pooled tensor
+    se_src = se_src.replace('keepdims=True)(inputs)', 'keepdims=True)')
+    assert 'keepdims=True)(inputs)' not in se_src
+    se_ns = {}
+    exec(compile(se_src, ref_se.__file__ + ' (patched)', 'exec'), se_ns)
+
+    bot_src = inspect.getsource(ref_botnet)
+    # fix 2: the attribute is head_ch (botnet.py:150), not head_dim
+    bot_src = bot_src.replace('jnp.sqrt(self.head_dim)',
+                              'jnp.sqrt(self.head_ch)')
+    # fix 3: BoTMHSA takes num_heads/head_ch, not the removed config object;
+    # 4 heads is the BoTNet class default (botnet.py:265)
+    bot_src = bot_src.replace('cfg = self.config\n', '')
+    bot_src = bot_src.replace(
+        'BoTMHSA(config=cfg)',
+        'BoTMHSA(num_heads=4, head_ch=self.filters // 4)')
+    bot_ns = {}
+    exec(compile(bot_src, ref_botnet.__file__ + ' (patched)', 'exec'),
+         bot_ns)
+    bot_ns['SqueezeExciteBlock'] = se_ns['SqueezeExciteBlock']
+
+    kwargs = dict(num_classes=10, stage_sizes=(1, 1, 1, 1))
+    ref_model = bot_ns['BoTNet'](**kwargs)
+    our_model = sav_tpu.BoTNet(**kwargs)
+
+    x = jnp.ones((2, 64, 64, 3), jnp.float32)
+    ref_variables = ref_model.init(jax.random.PRNGKey(0), x, train=False)
+    our_variables = our_model.init(jax.random.PRNGKey(0), x,
+                                   is_training=False)
+
+    ref_tree = {jax.tree_util.keystr(p): v.shape for p, v in
+                jax.tree_util.tree_flatten_with_path(ref_variables)[0]}
+    our_tree = {jax.tree_util.keystr(p): v.shape for p, v in
+                jax.tree_util.tree_flatten_with_path(our_variables)[0]}
+    assert ref_tree == our_tree, (
+        f'only ref: {sorted(set(ref_tree) - set(our_tree))}\n'
+        f'only ours: {sorted(set(our_tree) - set(ref_tree))}\n'
+        f'shape diffs: '
+        f'{ {k: (ref_tree[k], our_tree[k]) for k in ref_tree if k in our_tree and ref_tree[k] != our_tree[k]} }')
