@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sav_tpu.ops import quantized as quantized_ops
+from sav_tpu.ops.int8_matmul_kernel import int8_dense_fused
 
 
 class QuantizedDense(nn.Module):
@@ -26,6 +27,12 @@ class QuantizedDense(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros_init()
     quantized: bool = True
+    # fused=True quantizes activations INSIDE the Pallas matmul kernel
+    # (sav_tpu/ops/int8_matmul_kernel.py). Both int8 modes measured SLOWER
+    # than bf16 on the full ViT-B train step (bf16 832 / naive 636 / fused
+    # 610 img/s at bs=128, docs/PERFORMANCE.md), so both stay opt-in and
+    # fused defaults off pending epilogue fusion of bias+activation.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, inputs):
@@ -40,6 +47,10 @@ class QuantizedDense(nn.Module):
             if bias is not None:
                 x = x + bias.astype(self.dtype)
             return x
+        if self.fused:
+            return int8_dense_fused(
+                inputs.astype(self.dtype), kernel,
+                bias.astype(self.dtype) if bias is not None else None)
         return quantized_ops.quantized_dense(
             inputs.astype(self.dtype), kernel.astype(jnp.float32),
             bias.astype(self.dtype) if bias is not None else None)
