@@ -37,12 +37,18 @@ class NpzShardSource:
     """Random-access Grain data source over a directory of .npz shards."""
 
     def __init__(self, pattern: str):
+        self._pattern = pattern
         self._paths: Sequence[str] = sorted(glob.glob(pattern))
         if not self._paths:
             raise FileNotFoundError(f'no shards match {pattern!r}')
         self._shards = [np.load(p, mmap_mode=None) for p in self._paths]
         self._sizes = [s['labels'].shape[0] for s in self._shards]
         self._offsets = np.cumsum([0] + self._sizes)
+
+    def __repr__(self) -> str:
+        # stable across instances: Grain validates checkpointed iterator
+        # state against repr(data_source)
+        return f'NpzShardSource({self._pattern!r}, n={len(self)})'
 
     def __len__(self) -> int:
         return int(self._offsets[-1])
@@ -63,7 +69,8 @@ class GrainDataset:
 
     def __init__(self, shard_pattern: str, batch_size: int, image_size: int,
                  augmentation: str = 'none', training: bool = True,
-                 seed: int = 0, mesh=None, num_workers: int = 0):
+                 seed: int = 0, mesh=None, num_workers: int = 0,
+                 read_options=None):
         if not HAS_GRAIN:
             raise ImportError('grain is required for GrainDataset')
         self.batch_size = batch_size
@@ -84,7 +91,8 @@ class GrainDataset:
             sampler=sampler,
             operations=[grain.Batch(batch_size=batch_size,
                                     drop_remainder=training)],
-            worker_count=num_workers)
+            worker_count=num_workers,
+            read_options=read_options)
         self._iterator = iter(self._loader)
         self._next_step = 0
 
@@ -109,10 +117,31 @@ class GrainDataset:
         self._rng = jax.random.PRNGKey(seed)
         self._training = training
 
+    def get_state(self) -> bytes:
+        """Serialized loader position for checkpoint/resume (wraps Grain's
+        native iterator state, so restoring is O(1), not an O(step) replay)."""
+        import base64
+        import json
+        return json.dumps({
+            'grain': base64.b64encode(self._iterator.get_state()).decode(),
+            'next_step': self._next_step,
+        }).encode()
+
+    def set_state(self, state: bytes) -> None:
+        import base64
+        import json
+        payload = json.loads(state.decode())
+        self._iterator.set_state(base64.b64decode(payload['grain']))
+        self._next_step = int(payload['next_step'])
+
     def batch(self, step: int):
-        if step != self._next_step:   # restart for out-of-order access
-            self._iterator = iter(self._loader)
-            for _ in range(step):
+        if step != self._next_step:   # out-of-order access
+            if step > self._next_step:
+                skip = step - self._next_step   # forward: O(delta) skip
+            else:
+                self._iterator = iter(self._loader)   # backward: replay
+                skip = step
+            for _ in range(skip):
                 next(self._iterator)
         record = next(self._iterator)
         self._next_step = step + 1

@@ -257,20 +257,39 @@ def random_erasing(image, rng, erase_prob=0.25, min_area=0.02, max_area=1/3,
     return jnp.where(apply, erased, image)
 
 
-def smooth(image, factor):
-    """Blend toward a 3x3 box-smoothed image (reference: augment_ops.py
-    'smooth'); border pixels stay original."""
-    kernel = jnp.ones((3, 3), jnp.float32) / 9.0
+def _kernel_blend(image, kernel, factor):
+    """Blend toward a depthwise-filtered image; border pixels (where the
+    kernel would read outside the frame) stay original."""
+    kernel = jnp.asarray(kernel, jnp.float32)
+    pad = kernel.shape[0] // 2
     channels = image.shape[-1]
     lhs = image[None].transpose(0, 3, 1, 2)
     rhs = jnp.tile(kernel[None, None], (channels, 1, 1, 1))
     soft = jax.lax.conv_general_dilated(
         lhs, rhs, (1, 1), 'VALID',
         feature_group_count=channels)[0].transpose(1, 2, 0)
-    padded = jnp.pad(_clip(soft), ((1, 1), (1, 1), (0, 0)))
-    mask = jnp.zeros(image.shape[:2], bool).at[1:-1, 1:-1].set(True)
+    padded = jnp.pad(_clip(soft), ((pad, pad), (pad, pad), (0, 0)))
+    mask = jnp.zeros(image.shape[:2], bool).at[pad:-pad, pad:-pad].set(True)
     degenerate = jnp.where(mask[..., None], padded, image)
     return blend(image, degenerate, factor)
+
+
+def smooth(image, factor):
+    """Blend toward the PIL ImageFilter.SMOOTH kernel (reference:
+    augment_ops.py 'smooth': 3x3 [1..5..1]/13)."""
+    kernel = jnp.array([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+    return _kernel_blend(image, kernel, factor)
+
+
+def blur(image, factor):
+    """Blend toward the PIL ImageFilter.BLUR kernel (reference:
+    augment_ops.py:604-629: 5x5 ring of ones / 16)."""
+    kernel = jnp.array([[1., 1., 1., 1., 1.],
+                        [1., 0., 0., 0., 1.],
+                        [1., 0., 0., 0., 1.],
+                        [1., 0., 0., 0., 1.],
+                        [1., 1., 1., 1., 1.]]) / 16.0
+    return _kernel_blend(image, kernel, factor)
 
 
 def rescale(image, level):
@@ -308,6 +327,7 @@ NAME_TO_FUNC = {
     'TranslateY': translate_y,
     'Identity': lambda image, *a: image,
     'Cutout': cutout,
+    'Blur': blur,
     'Smooth': smooth,
     'Rescale': rescale,
 }

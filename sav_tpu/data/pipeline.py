@@ -15,9 +15,17 @@ uint8 array source covers CIFAR-scale real data. TFDS-backed ImageNet IO is
 gated on tensorflow_datasets being installed.
 
 The reference's augment-name strings ('cutmix_mixup_randaugment_405',
-'cutmix_mixup_0.4_randaugment_415', train.py:159 / simple_train.py:50) parse
-as: optional cutmix+mixup (with apply prob), RandAugment with magnitude m
-and magnitude-std s from the trailing digits 'mss'.
+train.py:159 / simple_train.py:50) come from the DeepMind-NFNets input API
+the train scripts imitate (the orphaned autoaugment.py exposes its
+``distort_image_with_randaugment(image, num_layers, magnitude)``), where the
+digits after ``randaugment_`` read as <num_layers><magnitude...>: '405' is
+4 layers at fixed magnitude 5. A bare ``randaugment`` token instead takes
+the reference's *working* pipeline defaults (data/input_pipeline.py:78-85:
+2 layers, magnitude 9, magstd 0.5, per-layer prob 0.5). ``colorjitter``
+(optionally ``colorjitter_<strength>``) composes SimCLR color jitter after
+RandAugment, as the reference's train preprocess does
+(data/preprocess/preprocess.py:161-186, strength default 0.3 per
+input_pipeline.py:96).
 """
 
 from __future__ import annotations
@@ -44,32 +52,51 @@ class AugmentConfig:
     mixup_alpha: float = 0.8
     cutmix_alpha: float = 1.0
     use_randaugment: bool = True
-    magnitude: float = 0.4          # in [0, 1] (level / num_levels)
+    magnitude: Optional[float] = 9.0    # RandAugment LEVEL units [0, 10]
     magstd: Optional[float] = 0.5
     num_layers: int = 2
+    ra_prob: Optional[float] = 0.5      # per-layer apply probability
+    ra_cutout: bool = False             # trailing cutout (ref default: off)
+    use_colorjitter: bool = False
+    colorjitter_strength: float = 0.3
     erase_prob: float = 0.25
 
 
 def parse_augment_name(name: str, default=AugmentConfig()) -> AugmentConfig:
-    """Parses the reference's augmentation-strategy strings."""
+    """Parses the reference's augmentation-strategy strings (grammar in the
+    module docstring)."""
     if not name or name == 'none':
         return AugmentConfig(use_mix=False, use_randaugment=False,
-                             erase_prob=0.0)
+                             use_colorjitter=False, erase_prob=0.0)
     use_mix = 'mixup' in name or 'cutmix' in name
     mix_prob = 1.0
     prob_match = re.search(r'(?:cutmix_)?mixup_(\d*\.\d+)', name)
     if prob_match:
         mix_prob = float(prob_match.group(1))
+
     use_ra = 'randaugment' in name
     magnitude, magstd = default.magnitude, default.magstd
-    ra_match = re.search(r'randaugment_(\d)(\d)(\d)', name)
+    num_layers, ra_prob = default.num_layers, default.ra_prob
+    ra_match = re.search(r'randaugment_(\d)(\d+)', name)
     if ra_match:
-        m, s1, s2 = ra_match.groups()
-        magnitude = int(m) / 10.0
-        magstd = float(f'{s1}.{s2}')
+        # NFNets grammar: first digit = layers, rest = fixed magnitude
+        # ('randaugment_405' = 4 layers, magnitude 5; no std, no layer prob).
+        num_layers = int(ra_match.group(1))
+        magnitude = float(int(ra_match.group(2)))
+        magstd = None
+        ra_prob = None
+
+    use_jitter = 'colorjitter' in name
+    strength = default.colorjitter_strength
+    jitter_match = re.search(r'colorjitter_(\d*\.\d+)', name)
+    if jitter_match:
+        strength = float(jitter_match.group(1))
+
     return AugmentConfig(use_mix=use_mix, mix_prob=mix_prob,
                          use_randaugment=use_ra, magnitude=magnitude,
-                         magstd=magstd)
+                         magstd=magstd, num_layers=num_layers,
+                         ra_prob=ra_prob, use_colorjitter=use_jitter,
+                         colorjitter_strength=strength)
 
 
 def make_train_augment_fn(image_size: int, config: AugmentConfig):
@@ -77,16 +104,24 @@ def make_train_augment_fn(image_size: int, config: AugmentConfig):
     batch dict. ``images`` are decoded uint8/float [B, H, W, C] in [0,255]."""
     randaugment = RandAugment(
         num_layers=config.num_layers,
-        magnitude=config.magnitude * 10.0,
+        magnitude=config.magnitude,
         magstd=config.magstd,
+        prob_to_apply=config.ra_prob,
+        cutout=config.ra_cutout,
         num_levels=10,
         size=image_size) if config.use_randaugment else None
 
     def per_example(rng, image):
-        r_crop, r_aug, r_erase = jax.random.split(rng, 3)
+        r_crop, r_aug, r_jitter, r_erase = jax.random.split(rng, 4)
         image = preprocess.train_preprocess(r_crop, image, image_size)
         if randaugment is not None:
             image = randaugment(r_aug, image)
+        if config.use_colorjitter:
+            # composed after RandAugment, before normalization, matching the
+            # reference's order (preprocess.py:161-186)
+            from sav_tpu.data import color
+            image = color.color_jitter(r_jitter, image,
+                                       strength=config.colorjitter_strength)
         image = preprocess.normalize(image)
         if config.erase_prob:
             image = image_ops.random_erasing(image, r_erase,

@@ -85,23 +85,31 @@ class RandAugment:
 
     num_layers: int = 2
     prob_to_apply: Optional[float] = None
-    magnitude: Optional[float] = None   # in [0, 1]
+    magnitude: Optional[float] = None   # LEVEL units, in [0, num_levels]
     num_levels: Optional[int] = 10
     cutout: bool = True
     magstd: Optional[float] = None
     size: int = 224
 
     def _sample_level(self, rng):
-        if self.magnitude is not None and not self.magstd:
-            return jnp.float32(self.magnitude)
+        """Returns the op strength as a fraction in [0, 1].
+
+        ``magnitude``/``magstd`` are always in level units (the reference's
+        convention, rand_augment.py:176-206); the division by num_levels
+        happens exactly once, here, for every sampling mode.
+        """
         if self.magstd:
+            assert self.magnitude is not None, 'magstd requires magnitude'
             level = self.magnitude + self.magstd * jax.random.normal(rng, ())
             level = jnp.clip(level, 0.0, self.num_levels)
-            return level / self.num_levels
-        if self.num_levels is None:
+        elif self.magnitude is not None:
+            level = jnp.float32(self.magnitude)
+        elif self.num_levels is None:
             return jax.random.uniform(rng, ())
-        level = jax.random.randint(rng, (), 0, self.num_levels + 1)
-        return level.astype(jnp.float32) / self.num_levels
+        else:
+            level = jax.random.randint(
+                rng, (), 0, self.num_levels + 1).astype(jnp.float32)
+        return level / self.num_levels
 
     def _one_layer(self, rng, image):
         rng_branch, rng_apply, rng_level, rng_sign, rng_cut = (

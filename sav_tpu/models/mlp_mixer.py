@@ -26,19 +26,22 @@ class MixerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        x = nn.LayerNorm(dtype=self.dtype)(inputs)
-        x = rearrange(x, '... l d -> ... d l')
-        x = FFBlock(expand_ratio=self.tokens_expand_ratio,
-                    activation_fn=self.activation_fn,
-                    dtype=self.dtype)(x, is_training=is_training)
-        x = rearrange(x, '... d l -> ... l d')
-        x = x + inputs
+        def mlp(ratio, z):
+            return FFBlock(expand_ratio=ratio,
+                           activation_fn=self.activation_fn,
+                           dtype=self.dtype)(z, is_training=is_training)
 
-        y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = FFBlock(expand_ratio=self.channels_expand_ratio,
-                    activation_fn=self.activation_fn,
-                    dtype=self.dtype)(y, is_training=is_training)
-        return x + y
+        # token mixing: transpose so the MLP contracts over the sequence
+        # axis, then transpose back before the residual
+        normed = nn.LayerNorm(dtype=self.dtype)(inputs)
+        mixed = mlp(self.tokens_expand_ratio,
+                    rearrange(normed, '... l d -> ... d l'))
+        tokens = inputs + rearrange(mixed, '... d l -> ... l d')
+
+        # channel mixing: an ordinary transformer MLP on the features
+        channels = mlp(self.channels_expand_ratio,
+                       nn.LayerNorm(dtype=self.dtype)(tokens))
+        return tokens + channels
 
 
 class ScanMixerBlock(MixerBlock):

@@ -1,14 +1,14 @@
 """Squeeze-and-excite gating block.
 
-Behavior-compatible with the reference (models/layers/squeeze_excite.py:13-38)
-with its crash fixed: the reference called the pooled tensor as a function
-(``jnp.mean(...)(inputs)``, l.32-33); here the global average pool is just the
-reduction.
+Checkpoint-compatible with the reference layer
+(models/layers/squeeze_excite.py:13-38) — same attribute surface and
+Dense_0/Dense_1 parameter layout — with its crash fixed: the reference
+called the pooled tensor as a function (``jnp.mean(...)(inputs)``, l.32-33),
+so the block could never actually execute.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -23,20 +23,23 @@ class SqueezeExciteBlock(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
 
+    def _bottleneck_width(self, channels: int) -> int:
+        if self.se_ratio is not None:
+            return max(1, int(channels * self.se_ratio))
+        if self.hidden_ch is None:
+            raise ValueError(
+                'SqueezeExciteBlock needs se_ratio or hidden_ch')
+        return self.hidden_ch
+
     @nn.compact
     def __call__(self, inputs):
-        in_ch = inputs.shape[-1]
-        if self.se_ratio is None:
-            if self.hidden_ch is None:
-                raise ValueError('Must provide one of se_ratio or hidden_ch')
-            hidden_ch = self.hidden_ch
-        else:
-            hidden_ch = max(1, int(in_ch * self.se_ratio))
-
-        dense = functools.partial(nn.Dense, use_bias=True, dtype=self.dtype)
-
-        x = jnp.mean(inputs, axis=(1, 2), dtype=self.dtype, keepdims=True)
-        x = dense(features=hidden_ch)(x)
-        x = self.activation_fn(x)
-        x = dense(features=in_ch)(x)
-        return nn.sigmoid(x) * inputs
+        channels = inputs.shape[-1]
+        # squeeze: one descriptor per channel, pooled over the spatial grid
+        pooled = jnp.mean(inputs, axis=(1, 2), dtype=self.dtype,
+                          keepdims=True)
+        # excite: bottleneck -> activation -> per-channel sigmoid gate
+        hidden = nn.Dense(self._bottleneck_width(channels), use_bias=True,
+                          dtype=self.dtype)(pooled)
+        gate = nn.Dense(channels, use_bias=True,
+                        dtype=self.dtype)(self.activation_fn(hidden))
+        return inputs * nn.sigmoid(gate)

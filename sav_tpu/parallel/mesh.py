@@ -56,19 +56,30 @@ def create_mesh(devices=None, model_parallelism: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+_distributed_initialized = False
+
+
 def maybe_initialize_distributed():
     """Joins the multi-host JAX cluster when coordinator env vars exist.
 
     The reference assumed an already-initialized pmap world and only gated
     on process_index (train.py:102,124,195); here the runtime joins the
     cluster itself. No-ops on single-host runs.
+
+    Decides from the environment alone: any backend-touching query (e.g.
+    ``jax.process_count()``) would initialize the XLA client first, after
+    which ``jax.distributed.initialize()`` raises — so this must run, and
+    must itself not query devices, before any other JAX API use.
     """
+    global _distributed_initialized
     import os
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get('JAX_COORDINATOR_ADDRESS') or os.environ.get(
-            'COORDINATOR_ADDRESS'):
-        jax.distributed.initialize()
+    if _distributed_initialized:
+        return
+    if not (os.environ.get('JAX_COORDINATOR_ADDRESS')
+            or os.environ.get('COORDINATOR_ADDRESS')):
+        return
+    jax.distributed.initialize()
+    _distributed_initialized = True
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -8,6 +8,7 @@ and ``latest_step``/``restore`` for resume.
 
 from __future__ import annotations
 
+import base64
 import os
 from typing import Optional
 
@@ -18,7 +19,13 @@ from sav_tpu.train.state import TrainState
 
 
 class CheckpointManager:
-    """Thin wrapper around ocp.CheckpointManager for TrainState pytrees."""
+    """Thin wrapper around ocp.CheckpointManager for TrainState pytrees.
+
+    Checkpoints are composite: the TrainState under ``state`` plus an
+    optional opaque ``data`` item carrying the input-loader position (e.g.
+    ``GrainDataset.get_state()``) so resume continues the data stream
+    instead of replaying or restarting it.
+    """
 
     def __init__(self, directory: str, keep: int = 3):
         self._directory = os.path.abspath(directory)
@@ -27,8 +34,13 @@ class CheckpointManager:
                                                enable_async_checkpointing=True)
         self._manager = ocp.CheckpointManager(self._directory, options=options)
 
-    def save(self, step: int, state: TrainState):
-        self._manager.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state: TrainState,
+             data_state: Optional[bytes] = None):
+        items = {'state': ocp.args.StandardSave(state)}
+        if data_state is not None:
+            items['data'] = ocp.args.JsonSave(
+                base64.b64encode(data_state).decode())
+        self._manager.save(step, args=ocp.args.Composite(**items))
 
     def latest_step(self) -> Optional[int]:
         return self._manager.latest_step()
@@ -41,8 +53,24 @@ class CheckpointManager:
             return state
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           state)
-        return self._manager.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        restored = self._manager.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract)))
+        return restored['state']
+
+    def restore_data_state(self, step: Optional[int] = None
+                           ) -> Optional[bytes]:
+        """The loader position saved with the checkpoint, if any."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        try:
+            restored = self._manager.restore(
+                step, args=ocp.args.Composite(data=ocp.args.JsonRestore()))
+        except (KeyError, FileNotFoundError, ValueError):
+            return None
+        encoded = restored.get('data')
+        return base64.b64decode(encoded) if encoded else None
 
     def wait(self):
         self._manager.wait_until_finished()

@@ -161,15 +161,21 @@ class Trainer:
             self.model, self.mesh, state, num_classes=config.num_classes,
             use_ema=config.ema_decay is not None)
 
-    def _dataset(self, seed_offset: int = 0) -> SyntheticDataset:
+    def _dataset(self, seed_offset: int = 0,
+                 training: bool = True) -> SyntheticDataset:
         c = self.config
         if c.dataset != 'synthetic':
             from sav_tpu.data.pipeline import create_dataset
+            # eval data goes through eval_preprocess (crop_resize) with no
+            # augmentation — the reference evaluates a clean split
+            # (reference: data/input_pipeline.py:357-377); scoring the model
+            # on mixup/RandAugment batches would skew every eval metric.
             return create_dataset(c.dataset, batch_size=c.batch_size,
                                   image_size=c.img_size,
                                   num_classes=c.num_classes,
                                   seed=c.seed + seed_offset, mesh=self.mesh,
-                                  augmentation=c.augmentation)
+                                  augmentation=c.augmentation,
+                                  training=training)
         return SyntheticDataset(c.batch_size, c.img_size,
                                 num_classes=c.num_classes,
                                 seed=c.seed + seed_offset, mesh=self.mesh)
@@ -190,10 +196,27 @@ class Trainer:
         count = max(float(sums.pop('eval_count')), 1.0)
         return {k: float(v) / count for k, v in sums.items()}
 
+    def _save_checkpoint(self, step: int, train_data) -> None:
+        data_state = (train_data.get_state()
+                      if hasattr(train_data, 'get_state') else None)
+        self.checkpoints.save(step, self.state, data_state=data_state)
+
+    def _maybe_restore_data_state(self, train_data, start_step: int) -> None:
+        """Seeks the loader to its checkpointed position on resume (O(1) via
+        Grain iterator state, instead of replaying start_step batches)."""
+        if (self.checkpoints is None or start_step == 0
+                or not hasattr(train_data, 'set_state')):
+            return
+        data_state = self.checkpoints.restore_data_state()
+        if data_state is not None:
+            train_data.set_state(data_state)
+
     def run(self) -> Dict[str, float]:
         c = self.config
         train_data = self._dataset()
-        eval_data = self._dataset(seed_offset=1)
+        eval_data = self._dataset(seed_offset=1, training=False)
+        start_step = int(jax.device_get(self.state.step))
+        self._maybe_restore_data_state(train_data, start_step)
         if c.steps_per_dispatch > 1:
             if c.dataset == 'synthetic':
                 return self._run_chained(eval_data)
@@ -201,7 +224,6 @@ class Trainer:
         steps_per_eval = c.steps_per_epoch * c.eval_every_epochs
         steps_per_ckpt = c.steps_per_epoch * c.checkpoint_every_epochs
 
-        start_step = int(jax.device_get(self.state.step))
         last_metrics: Dict[str, float] = {}
         window_start = time.perf_counter()
         window_images = 0
@@ -234,7 +256,7 @@ class Trainer:
             if self.checkpoints is not None and (
                     next_step % steps_per_ckpt == 0
                     or next_step == c.steps_total):
-                self.checkpoints.save(next_step, self.state)
+                self._save_checkpoint(next_step, train_data)
 
             if next_step % steps_per_eval == 0 or next_step == c.steps_total:
                 eval_metrics = self.evaluate(eval_data, c.eval_batches)
@@ -283,7 +305,8 @@ class Trainer:
             self.checkpoints.wait()
         return last_metrics
 
-    def _run_chained_host(self, train_data, eval_data) -> Dict[str, float]:
+    def _run_chained_host(self, train_data, eval_data
+                          ) -> Dict[str, float]:
         """N steps per dispatch over real (host-loaded) data: batches are
         stacked into one chunk and scanned on device, so the per-dispatch
         round trip amortizes over N steps while the loader works ahead."""
@@ -314,7 +337,7 @@ class Trainer:
             last_metrics['learning_rate'] = float(self.schedule(step))
             self.logger.log(last_metrics, step)
             if self.checkpoints is not None:
-                self.checkpoints.save(step, self.state)
+                self._save_checkpoint(step, train_data)
 
         eval_metrics = self.evaluate(eval_data, c.eval_batches)
         self.logger.log(eval_metrics, step)

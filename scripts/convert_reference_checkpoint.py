@@ -23,6 +23,15 @@ def main():
     parser.add_argument('--model', required=True)
     parser.add_argument('--num-classes', type=int, default=1000)
     parser.add_argument('--scan-layers', action='store_true')
+    # These must match the flags of the training run that will RESTORE the
+    # converted checkpoint: the optimizer-state pytree structure depends on
+    # them (clip adds a state leaf, ema adds ema_params, mu_dtype changes a
+    # leaf dtype), and Orbax restores into an exact template. Defaults
+    # mirror TrainConfig defaults.
+    parser.add_argument('--weight-decay', type=float, default=1e-4)
+    parser.add_argument('--clip-grad', type=float, default=None)
+    parser.add_argument('--mu-dtype', default=None)
+    parser.add_argument('--ema', action='store_true')
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -48,11 +57,16 @@ def main():
             if key.startswith('Encoder_'):
                 params[key] = stack_layer_params(params[key])
 
-    tx = build_optimizer(1e-3)
+    # schedule-based (callable) LR so opt_state gets the same
+    # ScaleByScheduleState structure Trainer's cosine/wsd chains produce
+    tx = build_optimizer(lambda step: 1e-3,
+                         weight_decay=args.weight_decay,
+                         clip_grad=args.clip_grad,
+                         mu_dtype=args.mu_dtype)
     state_vars = {'params': params}
     if 'batch_stats' in variables:
         state_vars['batch_stats'] = variables['batch_stats']
-    state = TrainState.create(state_vars, tx)
+    state = TrainState.create(state_vars, tx, ema=args.ema)
     step = int(restored.get('step', 0))
     state = state.replace(step=jnp.asarray(step, jnp.int32))
 

@@ -1,6 +1,8 @@
 """Data tier: image ops correctness, RandAugment determinism, mixup/cutmix
 semantics, preprocessing shapes, pipeline determinism."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -158,19 +160,54 @@ class TestPreprocess:
 class TestPipeline:
 
     def test_parse_augment_names(self):
+        # NFNets grammar: 'randaugment_405' = 4 layers, fixed magnitude 5
         cfg = parse_augment_name('cutmix_mixup_randaugment_405')
         assert cfg.use_mix and cfg.use_randaugment
-        assert cfg.magnitude == pytest.approx(0.4)
-        assert cfg.magstd == pytest.approx(0.5)
+        assert cfg.num_layers == 4
+        assert cfg.magnitude == pytest.approx(5.0)
+        assert cfg.magstd is None and cfg.ra_prob is None
         assert cfg.mix_prob == 1.0
+        assert not cfg.use_colorjitter
 
-        cfg = parse_augment_name('cutmix_mixup_0.4_randaugment_415')
+        cfg = parse_augment_name('cutmix_mixup_0.4_randaugment_215')
         assert cfg.mix_prob == pytest.approx(0.4)
-        assert cfg.magnitude == pytest.approx(0.4)
-        assert cfg.magstd == pytest.approx(1.5)
+        assert cfg.num_layers == 2
+        assert cfg.magnitude == pytest.approx(15.0)
+
+        # bare 'randaugment' = the reference pipeline defaults
+        # (input_pipeline.py:78-85: 2 layers, m9, mstd 0.5, prob 0.5)
+        cfg = parse_augment_name('cutmix_mixup_randaugment')
+        assert cfg.num_layers == 2
+        assert cfg.magnitude == pytest.approx(9.0)
+        assert cfg.magstd == pytest.approx(0.5)
+        assert cfg.ra_prob == pytest.approx(0.5)
+
+        cfg = parse_augment_name('randaugment_405_colorjitter')
+        assert cfg.use_colorjitter
+        assert cfg.colorjitter_strength == pytest.approx(0.3)
+        cfg = parse_augment_name('colorjitter_0.8')
+        assert cfg.use_colorjitter and not cfg.use_randaugment
+        assert cfg.colorjitter_strength == pytest.approx(0.8)
 
         cfg = parse_augment_name('none')
         assert not cfg.use_mix and not cfg.use_randaugment
+
+    def test_colorjitter_composed_into_augment_fn(self):
+        # identical rngs, jitter on vs off -> different images (the round-1
+        # gap: color.py existed but nothing reached it from training)
+        images = jax.random.uniform(jax.random.PRNGKey(0), (2, 48, 48, 3),
+                                    maxval=255.0)
+        labels = jnp.zeros((2,), jnp.int32)
+        base = AugmentConfig(use_mix=False, use_randaugment=False,
+                             erase_prob=0.0)
+        plain = make_train_augment_fn(32, base)
+        jittered = make_train_augment_fn(
+            32, dataclasses.replace(base, use_colorjitter=True))
+        rng = jax.random.PRNGKey(1)
+        out_a = plain(rng, images, labels)['images']
+        out_b = jittered(rng, images, labels)['images']
+        assert not np.array_equal(np.asarray(out_a), np.asarray(out_b))
+        assert np.isfinite(np.asarray(out_b)).all()
 
     def test_augment_fn_end_to_end(self):
         fn = jax.jit(make_train_augment_fn(32, AugmentConfig()))

@@ -43,6 +43,53 @@ def test_grain_dataset_deterministic(shard_dir):
 
 
 @pytest.mark.skipif(not grain_loader.HAS_GRAIN, reason='grain missing')
+def test_resume_via_iterator_state_without_replay(shard_dir, monkeypatch):
+    """Restoring from get_state seeks in O(1) — no O(step) batch replay."""
+    import grain.python as grain
+
+    def make():
+        return grain_loader.GrainDataset(
+            shard_dir + '/*.npz', batch_size=4, image_size=32,
+            augmentation='none', seed=5,
+            read_options=grain.ReadOptions(num_threads=1,
+                                           prefetch_buffer_size=4))
+
+    first = make()
+    for step in range(5):
+        first.batch(step)
+    saved = first.get_state()
+    expected = np.asarray(first.batch(5)['labels'])
+
+    resumed = make()
+    resumed.set_state(saved)
+    reads = []
+    orig = grain_loader.NpzShardSource.__getitem__
+    monkeypatch.setattr(grain_loader.NpzShardSource, '__getitem__',
+                        lambda self, i: reads.append(i) or orig(self, i))
+    got = np.asarray(resumed.batch(5)['labels'])
+    np.testing.assert_array_equal(got, expected)
+    # a few batches worth of source reads (batch + bounded prefetch), never
+    # the >= 6 batches a replay-from-zero would cost
+    assert len(reads) < 6 * 4, reads
+
+
+@pytest.mark.skipif(not grain_loader.HAS_GRAIN, reason='grain missing')
+def test_forward_skip_matches_fresh_stream(shard_dir):
+    skipper = grain_loader.GrainDataset(shard_dir + '/*.npz', batch_size=4,
+                                        image_size=32, augmentation='none',
+                                        seed=5)
+    skipper.batch(0)
+    jumped = np.asarray(skipper.batch(3)['labels'])
+    fresh = grain_loader.GrainDataset(shard_dir + '/*.npz', batch_size=4,
+                                      image_size=32, augmentation='none',
+                                      seed=5)
+    for step in range(3):
+        fresh.batch(step)
+    np.testing.assert_array_equal(jumped,
+                                  np.asarray(fresh.batch(3)['labels']))
+
+
+@pytest.mark.skipif(not grain_loader.HAS_GRAIN, reason='grain missing')
 def test_create_dataset_routes_to_grain(shard_dir):
     data = create_dataset(shard_dir, batch_size=4, image_size=32,
                           augmentation='none', training=False)

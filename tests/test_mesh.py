@@ -44,3 +44,33 @@ def test_param_shardings_respects_divisibility():
     shardings = mesh_lib.param_shardings(mesh, params)
     assert shardings['queries']['kernel'].spec == P(None, 'model', None)
     assert shardings['odd']['queries']['kernel'].spec == P()
+
+
+def test_maybe_initialize_distributed_env_only(monkeypatch):
+    """Must decide from env vars alone and call jax.distributed.initialize
+    BEFORE any backend-touching query (jax.process_count() would initialize
+    the XLA client, after which initialize() raises — advisor finding r1)."""
+    import jax
+    from sav_tpu.parallel import mesh as mesh_lib
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, 'initialize',
+                        lambda *a, **k: calls.append('init'))
+
+    def forbidden(*a, **k):
+        raise AssertionError('backend queried before distributed.initialize')
+
+    monkeypatch.setattr(jax, 'process_count', forbidden)
+    monkeypatch.setattr(jax, 'devices', forbidden)
+
+    monkeypatch.setattr(mesh_lib, '_distributed_initialized', False)
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    monkeypatch.delenv('COORDINATOR_ADDRESS', raising=False)
+    mesh_lib.maybe_initialize_distributed()
+    assert calls == []          # no coordinator configured -> no-op
+
+    monkeypatch.setenv('JAX_COORDINATOR_ADDRESS', 'localhost:1234')
+    mesh_lib.maybe_initialize_distributed()
+    assert calls == ['init']
+    mesh_lib.maybe_initialize_distributed()   # idempotent
+    assert calls == ['init']

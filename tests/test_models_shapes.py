@@ -64,6 +64,29 @@ def test_botnet():
     chex.assert_shape(forward(model, 64), (BATCH, NUM_CLASSES))
 
 
+def test_botnet_384_grid():
+    """384 input — the top of the reference's own resolution sweep
+    (botnet_test.py:13-23). Exercises the de-materialized rel-pos bias on
+    the 24x24 attention grid with real numerics."""
+    model = BoTNet(num_classes=NUM_CLASSES, stage_sizes=(1, 1, 1, 1))
+    chex.assert_shape(forward(model, 384), (BATCH, NUM_CLASSES))
+
+
+def test_botnet_t5_384_shapes_abstract():
+    """Factory-width botnet_t5 @384 init+apply, traced abstractly (the full
+    forward is a CPU-test budget problem; the TPU run is benchmarked)."""
+    import functools
+    from sav_tpu.models import create_model
+    model = create_model('botnet_t5', num_classes=1000)
+    x = jax.ShapeDtypeStruct((2, 384, 384, 3), jnp.float32)
+    variables = jax.eval_shape(
+        functools.partial(model.init, is_training=False),
+        jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(
+        functools.partial(model.apply, is_training=False), variables, x)
+    assert out.shape == (2, 1000)
+
+
 def test_mlp_mixer():
     model = MLPMixer(num_classes=NUM_CLASSES, num_layers=2, embed_dim=64,
                      patch_shape=(16, 16))

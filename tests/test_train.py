@@ -512,3 +512,37 @@ def test_trainer_host_chained_dispatch_grain(tmp_path):
                          checkpoint_every_epochs=10**6, eval_batches=1)
     metrics = Trainer(config).run()
     assert np.isfinite(metrics['loss'])
+
+
+def test_trainer_resume_restores_state_and_data_position(tmp_path):
+    """Run 2 steps with checkpointing, then resume to 4: the second Trainer
+    must restore the TrainState AND seek the Grain loader (no replay)."""
+    from sav_tpu.data.grain_loader import write_npz_shards
+    from sav_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.RandomState(1)
+    images = rng.randint(0, 256, (64, IMG, IMG, 3), dtype=np.uint8)
+    labels = rng.randint(0, NUM_CLASSES, size=64)
+    shard_dir = os.fspath(tmp_path / 'shards')
+    write_npz_shards(images, labels, shard_dir, shard_size=32)
+    ckpt_dir = os.fspath(tmp_path / 'ckpt')
+
+    def config(total_steps):
+        return TrainConfig(model_name='vit_ti_patch16', img_size=IMG,
+                           batch_size=8, total_steps=total_steps,
+                           dtype='float32', num_classes=NUM_CLASSES,
+                           dataset=shard_dir, checkpoint_dir=ckpt_dir,
+                           log_every=1, eval_every_epochs=10**6,
+                           checkpoint_every_epochs=10**6, eval_batches=1)
+
+    Trainer(config(2)).run()
+
+    resumed = Trainer(config(4))
+    assert int(jax.device_get(resumed.state.step)) == 2
+    data_state = resumed.checkpoints.restore_data_state()
+    assert data_state is not None
+    import json
+    assert json.loads(data_state.decode())['next_step'] == 2
+    metrics = resumed.run()
+    assert int(jax.device_get(resumed.state.step)) == 4
+    assert np.isfinite(metrics['loss'])
