@@ -67,14 +67,15 @@ class GrainDataset:
     the training loop and eval padding logic stay source-agnostic.
     """
 
-    def __init__(self, shard_pattern: str, batch_size: int, image_size: int,
+    def __init__(self, source, batch_size: int, image_size: int,
                  augmentation: str = 'none', training: bool = True,
                  seed: int = 0, mesh=None, num_workers: int = 0,
                  read_options=None):
         if not HAS_GRAIN:
             raise ImportError('grain is required for GrainDataset')
         self.batch_size = batch_size
-        source = NpzShardSource(shard_pattern)
+        if isinstance(source, str):
+            source = NpzShardSource(source)
 
         shard_options = grain.ShardOptions(
             shard_index=jax.process_index(),

@@ -1,0 +1,186 @@
+"""Random-access JPEG sources for the Grain host loader.
+
+This is the real-data IO tier the reference got from tf.data's C++
+``decode_and_crop_jpeg`` pipeline (reference: data/input_pipeline.py:109-117,
+data/preprocess/preprocess.py:61-77). The TPU-native split is different: the
+host does *only* JPEG decode to a fixed-shape uint8 frame (PIL/libjpeg-turbo,
+with DCT-domain ``draft`` downscaling so large photos never decode at full
+resolution), and every random transform — distorted-bbox crop, flip,
+RandAugment, normalize, erasing, mixup — runs on the accelerator via
+``sav_tpu.data.pipeline``. That keeps the host loop deterministic and cheap
+(one core suffices for far more img/s than full TF-side augmentation) and
+keeps jit shapes static.
+
+Layout: ImageFolder convention, ``root/<class_name>/*.jpg``. Class indices
+are the sorted class-directory order (what torchvision/TFDS ImageNet use).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+def _list_jpegs(root: str) -> Tuple[Sequence[str], Sequence[int], Sequence[str]]:
+    classes = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)))
+    if not classes:
+        raise FileNotFoundError(f'no class directories under {root!r}')
+    paths, labels = [], []
+    for idx, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(('.jpg', '.jpeg')):
+                paths.append(os.path.join(cdir, fname))
+                labels.append(idx)
+    if not paths:
+        raise FileNotFoundError(f'no .jpg/.jpeg files under {root!r}')
+    return paths, labels, classes
+
+
+def decode_jpeg_fixed(path_or_file, decode_size: int) -> np.ndarray:
+    """Decodes a JPEG to a fixed ``[decode_size, decode_size, 3]`` uint8 frame.
+
+    Keep-aspect resize-small to ``decode_size`` then center crop — the same
+    geometry as the reference's eval transform (preprocess.py:26-58), applied
+    at decode time so downstream jit shapes are static. ``Image.draft`` asks
+    libjpeg to decode at 1/2, 1/4, or 1/8 DCT scale when the target is much
+    smaller than the stored photo, which skips most of the IDCT work for
+    ImageNet-sized originals.
+
+    The device-side train transform then samples its distorted-bbox crop from
+    this frame; relative to the reference (which crops the pre-resize
+    original) only content outside the central square is lost.
+    """
+    from PIL import Image
+
+    with Image.open(path_or_file) as img:
+        # draft may overshoot (it only does power-of-two scales); ask for 2x
+        # the target so the bilinear resize below still has headroom.
+        img.draft('RGB', (decode_size * 2, decode_size * 2))
+        img = img.convert('RGB')
+        width, height = img.size
+        scale = decode_size / min(width, height)
+        new_w = max(decode_size, int(round(width * scale)))
+        new_h = max(decode_size, int(round(height * scale)))
+        img = img.resize((new_w, new_h), Image.BILINEAR)
+        x0 = (new_w - decode_size) // 2
+        y0 = (new_h - decode_size) // 2
+        img = img.crop((x0, y0, x0 + decode_size, y0 + decode_size))
+        return np.asarray(img, dtype=np.uint8)
+
+
+class JpegFolderSource:
+    """Random-access Grain source over ``root/<class>/*.jpg`` trees.
+
+    ``__getitem__`` decodes on the calling (Grain worker) thread/process;
+    records are ``{'image': uint8 [S, S, 3], 'label': int}``.
+    """
+
+    def __init__(self, root: str, decode_size: int = 256):
+        self._root = os.path.abspath(root)
+        self._decode_size = int(decode_size)
+        self._paths, self._labels, self.class_names = _list_jpegs(self._root)
+
+    def __repr__(self) -> str:
+        # stable across instances: Grain validates checkpointed iterator
+        # state against repr(data_source)
+        return (f'JpegFolderSource({self._root!r}, n={len(self)}, '
+                f'decode={self._decode_size})')
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def __getitem__(self, index: int):
+        image = decode_jpeg_fixed(self._paths[index], self._decode_size)
+        return {'image': image, 'label': np.int64(self._labels[index])}
+
+
+class JpegTarSource:
+    """Random-access source over tar archives of JPEGs (webdataset-style
+    shards, or the ImageNet-21k-P distribution tars — the streaming converter
+    in ``sav_tpu.data.imagenet21k`` shares this layout).
+
+    Builds a one-time member index per tar (name -> offset) so access stays
+    O(1) per record; labels come from the top-level directory name inside
+    the archive (``<class>/<file>.jpg``), matching the 21k-P layout
+    (reference: data/custom_datasets/imagenet_21k_p_winter.py:75-100).
+    """
+
+    def __init__(self, tar_paths: Sequence[str], decode_size: int = 256):
+        import tarfile
+
+        if isinstance(tar_paths, str):
+            tar_paths = [tar_paths]
+        self._tar_paths = [os.path.abspath(p) for p in sorted(tar_paths)]
+        self._decode_size = int(decode_size)
+        # (tar_index, data_offset, size, label); class names indexed globally
+        entries = []
+        class_names = set()
+        per_tar_members = []
+        for path in self._tar_paths:
+            members = []
+            with tarfile.open(path) as tar:
+                for member in tar:
+                    if not member.isfile():
+                        continue
+                    if not member.name.lower().endswith(('.jpg', '.jpeg')):
+                        continue
+                    cls = member.name.split('/')[0]
+                    class_names.add(cls)
+                    members.append((member.offset_data, member.size, cls))
+            per_tar_members.append(members)
+        self.class_names = sorted(class_names)
+        cls_to_idx = {c: i for i, c in enumerate(self.class_names)}
+        for tar_idx, members in enumerate(per_tar_members):
+            for offset, size, cls in members:
+                entries.append((tar_idx, offset, size, cls_to_idx[cls]))
+        if not entries:
+            raise FileNotFoundError(f'no jpegs in tars {self._tar_paths!r}')
+        self._entries = entries
+        self._files = [None] * len(self._tar_paths)
+
+    def __repr__(self) -> str:
+        return (f'JpegTarSource({self._tar_paths!r}, n={len(self)}, '
+                f'decode={self._decode_size})')
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def _file(self, tar_idx: int):
+        f = self._files[tar_idx]
+        if f is None:
+            f = open(self._tar_paths[tar_idx], 'rb')
+            self._files[tar_idx] = f
+        return f
+
+    def __getitem__(self, index: int):
+        import io
+
+        tar_idx, offset, size, label = self._entries[index]
+        f = self._file(tar_idx)
+        f.seek(offset)
+        payload = io.BytesIO(f.read(size))
+        image = decode_jpeg_fixed(payload, self._decode_size)
+        return {'image': image, 'label': np.int64(label)}
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state['_files'] = [None] * len(self._tar_paths)  # fds don't pickle
+        return state
+
+
+def looks_like_jpeg_folder(path: str) -> bool:
+    """True if ``path`` is an ImageFolder-style tree of JPEGs."""
+    if not os.path.isdir(path):
+        return False
+    for entry in sorted(os.listdir(path)):
+        sub = os.path.join(path, entry)
+        if os.path.isdir(sub):
+            for fname in os.listdir(sub):
+                if fname.lower().endswith(('.jpg', '.jpeg')):
+                    return True
+    return False

@@ -219,14 +219,99 @@ def create_dataset(name: str, batch_size: int, image_size: int,
                                      batch_size, image_size,
                                      augmentation=augmentation,
                                      training=training, seed=seed, mesh=mesh)
-    if name.endswith('.npz') or os.path.isdir(name):
+    if name.startswith('tfds:'):
+        # TFDS-backed ImageNet et al. (reference: data/input_pipeline.py:
+        # 109-117 builds from tfds.builder('imagenet2012:5.1.0')). Uses
+        # tfds.data_source — TFDS's random-access (ArrayRecord) reader — so
+        # the same Grain loader + on-device augmentation serve it; no
+        # tf.data graph anywhere.
+        try:
+            import tensorflow_datasets as tfds
+        except ImportError as exc:
+            raise ImportError(
+                "dataset 'tfds:...' requires tensorflow_datasets "
+                '(not installed in this image)') from exc
         from sav_tpu.data.grain_loader import GrainDataset
-        pattern = name if name.endswith('.npz') else os.path.join(
-            name, '*.npz')
-        return GrainDataset(pattern, batch_size, image_size,
+
+        spec = name[len('tfds:'):]
+        split = 'train' if training else 'validation'
+        if ',' in spec:
+            spec, split = spec.split(',', 1)
+        ds = tfds.data_source(spec)[split]
+        decode_size = max(int(round(image_size / 0.875)), image_size)
+
+        class _TfdsSource:
+            def __init__(self, data, repr_key):
+                self._data, self._key = data, repr_key
+
+            def __repr__(self):
+                return f'TfdsSource({self._key!r}, n={len(self)})'
+
+            def __len__(self):
+                return len(self._data)
+
+            def __getitem__(self, index):
+                from PIL import Image
+
+                from sav_tpu.data import jpeg_source
+
+                rec = self._data[index]
+                image = rec['image']
+                if isinstance(image, bytes):     # SkipDecoding-style source
+                    import io
+                    image = jpeg_source.decode_jpeg_fixed(
+                        io.BytesIO(image), decode_size)
+                elif image.shape[:2] != (decode_size, decode_size):
+                    # variable-size decoded records -> fixed frame so
+                    # downstream jit shapes stay static
+                    img = Image.fromarray(image)
+                    width, height = img.size
+                    scale = decode_size / min(width, height)
+                    img = img.resize((max(decode_size, round(width * scale)),
+                                      max(decode_size, round(height * scale))),
+                                     Image.BILINEAR)
+                    x0 = (img.size[0] - decode_size) // 2
+                    y0 = (img.size[1] - decode_size) // 2
+                    image = np.asarray(
+                        img.crop((x0, y0, x0 + decode_size,
+                                  y0 + decode_size)), dtype=np.uint8)
+                return {'image': image, 'label': np.int64(rec['label'])}
+
+        return GrainDataset(_TfdsSource(ds, f'{spec}/{split}'), batch_size,
+                            image_size, augmentation=augmentation,
+                            training=training, seed=seed, mesh=mesh)
+    if name.endswith('.npz') or name.endswith('.tar') or os.path.isdir(name):
+        import glob as globlib
+
+        from sav_tpu.data.grain_loader import GrainDataset
+        from sav_tpu.data import jpeg_source
+
+        # JPEG decode to ~= eval resize-small geometry; the device-side
+        # distorted-bbox crop then works from this frame.
+        decode_size = max(int(round(image_size / 0.875)), image_size)
+        if name.endswith('.npz'):
+            source = name                      # glob pattern or single file
+        elif name.endswith('.tar'):
+            tars = sorted(globlib.glob(name)) if '*' in name else [name]
+            source = jpeg_source.JpegTarSource(tars, decode_size=decode_size)
+        elif globlib.glob(os.path.join(name, '*.npz')):
+            source = os.path.join(name, '*.npz')
+        elif jpeg_source.looks_like_jpeg_folder(name):
+            source = jpeg_source.JpegFolderSource(name,
+                                                  decode_size=decode_size)
+        elif globlib.glob(os.path.join(name, '*.tar')):
+            source = jpeg_source.JpegTarSource(
+                sorted(globlib.glob(os.path.join(name, '*.tar'))),
+                decode_size=decode_size)
+        else:
+            raise ValueError(
+                f'directory {name!r} holds neither .npz shards, '
+                f'class-subdirectory JPEGs, nor .tar shards')
+        return GrainDataset(source, batch_size, image_size,
                             augmentation=augmentation, training=training,
                             seed=seed, mesh=mesh)
     raise ValueError(
         f'Unknown dataset {name!r}; use synthetic, synthetic_augmented, an '
-        f'.npz path/glob, or a directory of .npz shards (TFDS-backed '
-        f'ImageNet requires tensorflow_datasets).')
+        f'.npz path/glob, a .tar of JPEGs, a directory of .npz/.tar shards, '
+        f'or an ImageFolder-style JPEG tree (TFDS-backed ImageNet requires '
+        f'tensorflow_datasets).')

@@ -96,6 +96,41 @@ def test_vit_b_patch16_factory_parity():
     _parity_check(ref, ours, 96)
 
 
+@pytest.mark.slow
+def test_cait_s24_factory_parity():
+    """Tracked config at full factory width (reduced image size).
+
+    The reference factory path works for CaiT, so this exercises both
+    factories end to end (reference: create_model.py:109-123)."""
+    ref = reference_models.create_model('cait_s_24', num_classes=1000)
+    ours = sav_tpu.create_model('cait_s_24', num_classes=1000)
+    _parity_check(ref, ours, 64)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('name,img', [
+    ('mixer_b_patch16', 96),
+    ('cvt-13', 64),
+    ('tnt_s_patch16', 48),
+])
+def test_tracked_config_model_parity(name, img):
+    """Remaining BASELINE.json tracked configs at full factory width.
+
+    The reference *factory* cannot produce these as documented fixes
+    (create_model.py:50-63 swaps TNT s/b, :173 uses 368 for CvT stage 3,
+    :184/199 shadows mixer_b_patch16), so the reference MODEL CLASS is
+    instantiated with our corrected config: this proves the model code is
+    numerically identical at full width, which is what checkpoint drop-in
+    requires."""
+    from sav_tpu.models import factory
+
+    ours = sav_tpu.create_model(name, num_classes=1000)
+    _, kwargs = factory.MODEL_CONFIGS[name]
+    ref_cls = getattr(reference_models, type(ours).__name__)
+    ref = ref_cls(num_classes=1000, **kwargs)
+    _parity_check(ref, ours, img)
+
+
 def test_botnet_param_tree_parity():
     """BoTNet checkpoint compatibility vs the reference.
 

@@ -30,7 +30,9 @@ from sav_tpu.train import TrainConfig, Trainer
 @click.command()
 @optgroup.group('Dataset configuration')
 @optgroup.option('--data_dir', type=str, required=True,
-                 help="dataset directory, or 'synthetic'")
+                 help="dataset: 'synthetic', an .npz path/glob, a directory "
+                      "of .npz shards, an ImageFolder JPEG tree, or .tar "
+                      "shard(s) of JPEGs")
 @optgroup.group('Training configuration')
 @optgroup.option('-s', '--img_size', type=int, default=224,
                  help='image size (default: 224)')
