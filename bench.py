@@ -259,9 +259,14 @@ def main():
 
     on_tpu = jax.default_backend() == 'tpu'
     configs = TRACKED_CONFIGS if args.all else TRACKED_CONFIGS[:1]
-    for model_name, img, tpu_bs in configs:
+    for i, (model_name, img, tpu_bs) in enumerate(configs):
         batch_size = args.batch_size or (tpu_bs if on_tpu else 8)
-        print(json.dumps(bench_one(model_name, img, batch_size)))
+        # the as-written (pmap, per-step host dispatch) baseline is
+        # environment-bound (H2D per step); measure it once on the headline
+        # config — vs_matched is the per-model compiled-compute comparison
+        result = bench_one(model_name, img, batch_size,
+                           with_as_written=(i == 0))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == '__main__':

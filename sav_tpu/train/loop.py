@@ -309,7 +309,18 @@ class Trainer:
                           ) -> Dict[str, float]:
         """N steps per dispatch over real (host-loaded) data: batches are
         stacked into one chunk and scanned on device, so the per-dispatch
-        round trip amortizes over N steps while the loader works ahead."""
+        round trip amortizes over N steps.
+
+        Chunk k+1 is loaded on a prefetch thread while chunk k's dispatch
+        drains, overlapping host decode with device compute + H2D transfer
+        (measured: the serial loop left the device idle for the full decode
+        time of every chunk, docs/PERFORMANCE.md "Real-data input path").
+        The loader's checkpointable state is captured at each chunk boundary
+        on the prefetch thread, so checkpoints stay consistent with the
+        steps actually consumed even while the iterator runs ahead.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         c = self.config
         chained = steps_lib.make_chained_train_step_over_batches(
             self.model, self.tx, self.mesh, self.state,
@@ -317,27 +328,55 @@ class Trainer:
             label_smoothing=c.label_smoothing, remat=c.remat,
             ema_decay=c.ema_decay)
 
-        last_metrics: Dict[str, float] = {}
-        step = int(jax.device_get(self.state.step))
-        while step < c.steps_total:
-            n = min(c.steps_per_dispatch, c.steps_total - step)
+        def fetch(step, n):
+            """Loads one chunk; returns (stacked, loader state afterwards).
+
+            Runs on the single prefetch thread; device transforms inside
+            ``batch`` only enqueue, so this blocks on host decode alone.
+            """
+            if n <= 0:
+                return None, None
             try:
                 batches = [train_data.batch(step + i) for i in range(n)]
             except StopIteration:
-                break
-            # a shorter tail chunk just jit-specializes once more
-            start = time.perf_counter()
-            self.state, metrics = chained(self.state, self.step_rng,
-                                          steps_lib.stack_batches(batches))
-            metrics = jax.device_get(metrics)
-            elapsed = time.perf_counter() - start
-            step += n
-            last_metrics = {k: float(v) for k, v in metrics.items()}
-            last_metrics['images_per_sec'] = c.batch_size * n / elapsed
-            last_metrics['learning_rate'] = float(self.schedule(step))
-            self.logger.log(last_metrics, step)
-            if self.checkpoints is not None:
-                self._save_checkpoint(step, train_data)
+                return None, None
+            state = (train_data.get_state()
+                     if hasattr(train_data, 'get_state') else None)
+            return steps_lib.stack_batches(batches), state
+
+        last_metrics: Dict[str, float] = {}
+        step = int(jax.device_get(self.state.step))
+        executor = ThreadPoolExecutor(max_workers=1)
+        n = min(c.steps_per_dispatch, c.steps_total - step)
+        pending = executor.submit(fetch, step, n)
+        try:
+            while step < c.steps_total:
+                # wall time per chunk includes any wait on the prefetch
+                # thread, so images_per_sec stays an honest end-to-end rate
+                # even when the host loader is the bottleneck
+                start = time.perf_counter()
+                stacked, data_state = pending.result()
+                if stacked is None:   # source exhausted
+                    break
+                next_n = min(c.steps_per_dispatch, c.steps_total - (step + n))
+                if next_n > 0:
+                    # a shorter tail chunk just jit-specializes once more
+                    pending = executor.submit(fetch, step + n, next_n)
+                self.state, metrics = chained(self.state, self.step_rng,
+                                              stacked)
+                metrics = jax.device_get(metrics)
+                elapsed = time.perf_counter() - start
+                step += n
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics['images_per_sec'] = c.batch_size * n / elapsed
+                last_metrics['learning_rate'] = float(self.schedule(step))
+                n = next_n
+                self.logger.log(last_metrics, step)
+                if self.checkpoints is not None:
+                    self.checkpoints.save(step, self.state,
+                                          data_state=data_state)
+        finally:
+            executor.shutdown(wait=False)
 
         eval_metrics = self.evaluate(eval_data, c.eval_batches)
         self.logger.log(eval_metrics, step)

@@ -83,12 +83,15 @@ from sav_tpu.train import TrainConfig, Trainer
                  help='params EMA decay (e.g. 0.9999); eval uses the EMA')
 @optgroup.option('--schedule', type=click.Choice(['cosine', 'wsd']),
                  default='cosine', help='LR schedule family')
+@optgroup.option('--steps_per_dispatch', type=int, default=1,
+                 help='chain N train steps per device dispatch (hides host '
+                      'round-trip latency; >1 scans N steps in one jit)')
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
          scan_layers, remat, mu_dtype, ema_decay, schedule,
-         use_wandb):
+         steps_per_dispatch, use_wandb):
     config = TrainConfig(
         model_name=model_name,
         img_size=img_size,
@@ -110,6 +113,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         mu_dtype=mu_dtype,
         ema_decay=ema_decay,
         schedule=schedule,
+        steps_per_dispatch=steps_per_dispatch,
     )
     metrics = Trainer(config, use_wandb=use_wandb).run()
     click.echo(f'final metrics: {metrics}')
