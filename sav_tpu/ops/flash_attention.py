@@ -48,8 +48,14 @@ def _round_up(x: int, m: int) -> int:
 
 def _block_sizes(q_len: int, kv_len: int, heads: int, d: int):
     """Pick L-axis block sizes, bounded so the head-packed buffers fit
-    VMEM."""
-    block_q = min(512, _round_up(q_len, 128))
+    VMEM.
+
+    Query blocks only need sublane (16) alignment — 197 pads to 208, not
+    256, which cuts every matmul's M and the exp count by 1.23x at ViT
+    shapes. Key blocks stay 128-aligned: kv is the lane axis of the logits
+    tile.
+    """
+    block_q = min(512, _round_up(q_len, 16))
     block_k = min(1024, _round_up(kv_len, 128))
 
     def footprint(bq, bk):
@@ -161,17 +167,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref,
         q = _band(q_ref, 0, h, d)
         k = _band(k_ref, 0, h, d)
         v = _band(v_ref, 0, h, d)
-        s = _mask_padding(_qk(q, k), ki, block_k, kv_len)
 
         if single:
-            m = jnp.max(s, axis=1, keepdims=True)
+            # No -inf masking pass: k/v are zero-padded beyond kv_len, so a
+            # padding column contributes exp(-m)*0 to the PV matmul. The
+            # reductions slice to the true length, and clamping m at 0
+            # bounds exp on padding columns (s_pad = 0 -> p_pad <= 1, no
+            # overflow) without changing the sliced softmax: scaling by
+            # exp(m - max(m, 0)) cancels between p and l.
+            s = _qk(q, k)
+            m = jnp.maximum(
+                jnp.max(s[:, :kv_len], axis=1, keepdims=True), 0.0)
             p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
+            l = jnp.sum(p[:, :kv_len], axis=1, keepdims=True)
             out_ref[0, :, h * d:(h + 1) * d] = (
                 _matmul(p.astype(v.dtype), v) / l).astype(out_ref.dtype)
             lse_ref[0, h] = jnp.broadcast_to(m + jnp.log(l),
                                              lse_ref.shape[2:])
             continue
+        s = _mask_padding(_qk(q, k), ki, block_k, kv_len)
 
         m_prev = m_ref[h, :, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -250,7 +264,11 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         lse = lse_ref[0, h][:, :1]
         delta = jnp.sum(o * do, axis=-1, keepdims=True)
 
-        s = _mask_padding(_qk(q, k), 0, block_k, kv_len)
+        # no masking pass needed (see _fwd_kernel): padding columns have
+        # s = 0 (k zero-padded), p_pad = exp(-lse) <= 1; their dv/dk rows
+        # are sliced away by the caller, dp_pad = do . v_pad = 0, and the
+        # nonzero ds_pad multiplies k_pad = 0 in dq.
+        s = _qk(q, k)
         p = jnp.exp(s - lse)
 
         dob = do.astype(v.dtype)
