@@ -55,6 +55,11 @@ TRACKED_CONFIGS = (
     ('cait_s_24', 224, 128),
     ('cvt-13', 224, 64),
     ('tnt_s_patch16', 224, 64),
+    # @384: the flash-kernel dispatch region (L=577), the reference's own
+    # large-resolution test point (reference: botnet_test.py:13-23,
+    # cvt_test.py:16)
+    ('vit_b_patch16', 384, 48),
+    ('cait_s_24', 384, 48),
 )
 
 
@@ -111,21 +116,70 @@ def bench_ours(model_name, img, batch_size):
 
 
 def _reference_model(model_name):
+    """Reference MODEL CLASS + our factory's config.
+
+    The reference factory cannot produce several tracked names (its own
+    bugs: mixer_b_patch16 shadowed, TNT s/b swapped, CvT stage-3 368) —
+    and where it can, the corrected config must match ours or the compute
+    comparison is between different architectures. So the baseline is the
+    reference's model CODE at our (paper-correct) dimensions, exactly as
+    in tests/test_golden_parity.py.
+    """
     if '/root/reference' not in sys.path:
         sys.path.insert(0, '/root/reference')
     import models as reference_models
-    return reference_models.create_model(model_name, num_classes=1000,
-                                         dtype=jnp.bfloat16)
+
+    from sav_tpu.models import factory
+
+    model_cls, config = factory.MODEL_CONFIGS[model_name]
+    ref_cls = getattr(reference_models, model_cls.__name__)
+
+    if model_cls.__name__ == 'CvT':
+        # Minimal jit-compatibility patch, math-identical: the reference
+        # computes grid sides as int(jnp.sqrt(l)) / int(jnp.ceil(jnp.sqrt(
+        # l))) (reference: models/cvt.py:13,149), which raises
+        # ConcretizationTypeError under jit/scan tracing — the reference
+        # never jits its models, our benchmark methodology does. Rewritten
+        # to integer host math on the static shape, same values.
+        import inspect
+
+        import models.cvt as ref_cvt_mod
+
+        src = inspect.getsource(ref_cvt_mod)
+        src = src.replace('int(jnp.ceil(jnp.sqrt(l)))',
+                          '(math.isqrt(l) + (math.isqrt(l) ** 2 < l))')
+        src = src.replace('int(jnp.sqrt(l))', 'math.isqrt(l)')
+        assert 'int(jnp.' not in src
+        ns = {}
+        exec(compile('import math\n' + src,
+                     ref_cvt_mod.__file__ + ' (jit patch)', 'exec'), ns)
+        ref_cls = ns['CvT']
+
+    return ref_cls(num_classes=1000, dtype=jnp.bfloat16, **config)
 
 
 def _reference_loss_fn(model, batch_images, labels):
-    def loss_fn(variables):
-        logits = model.apply(variables, batch_images.astype(jnp.bfloat16),
-                             is_training=True)
+    # the reference train step passes no rngs= (reference: train.py:82), so
+    # CaiT training crashes as written (stochastic-depth needs a stream,
+    # SURVEY §3.4); supply the streams so the baseline can train at all
+    rngs = {'stochastic_depth': jax.random.PRNGKey(3),
+            'dropout': jax.random.PRNGKey(4)}
+
+    def loss_fn(params, extra_state):
+        # BatchNorm models (CvT/CeiT/BoTNet) cannot even run a training
+        # forward as the reference calls apply (no mutable=, reference:
+        # train.py:82 — SURVEY §7 hard part 3); thread batch_stats so the
+        # baseline trains
+        variables = {'params': params, **extra_state}
+        mutable = list(extra_state.keys())
+        out = model.apply(variables, batch_images.astype(jnp.bfloat16),
+                          is_training=True, rngs=rngs,
+                          mutable=mutable if mutable else False)
+        logits, new_state = out if mutable else (out, {})
         y = optax.smooth_labels(jax.nn.one_hot(labels, 1000), 0.1)
         loss = jnp.mean(optax.softmax_cross_entropy(
             logits.astype(jnp.float32), y))
-        return loss, logits
+        return loss, (logits, new_state)
     return loss_fn
 
 
@@ -147,21 +201,25 @@ def bench_reference_matched(model_name, img, batch_size):
     tx = optax.chain(optax.scale_by_adam(),
                      optax.add_decayed_weights(1e-4),
                      optax.scale(-1e-3))
-    variables = jax.jit(model.init, static_argnames='is_training')(
+    variables = dict(jax.jit(model.init, static_argnames='is_training')(
         jax.random.PRNGKey(0), jnp.ones((1, img, img, 3)),
-        is_training=False)
-    opt_state = tx.init(variables)
+        is_training=False))
+    params = variables.pop('params')
+    extra_state = variables              # batch_stats for BN models, else {}
+    opt_state = tx.init(params)
 
     def step(state, batch, i):
-        variables, opt_state = state
+        params, extra_state, opt_state = state
         loss_fn = _reference_loss_fn(model, batch['images'], batch['labels'])
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(variables)
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, extra_state)
         loss = _reference_metrics_fold(loss, logits, batch['labels'])
-        updates, new_opt = tx.update(grads, opt_state, variables)
-        return (optax.apply_updates(variables, updates), new_opt), loss
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_state if new_state else extra_state,
+                new_opt), loss
 
-    return _time_scan(step, (variables, opt_state),
+    return _time_scan(step, (params, extra_state, opt_state),
                       _batch(batch_size, img))
 
 
@@ -181,28 +239,31 @@ def bench_reference_as_written(model_name, img, batch_size,
     tx = optax.chain(optax.scale_by_adam(),
                      optax.add_decayed_weights(1e-4),
                      optax.scale(-1e-3))
-    variables = jax.jit(model.init, static_argnames='is_training')(
+    variables = dict(jax.jit(model.init, static_argnames='is_training')(
         jax.random.PRNGKey(0), jnp.ones((1, img, img, 3)),
-        is_training=False)
-    opt_state = tx.init(variables)
+        is_training=False))
+    params = variables.pop('params')
+    extra_state = variables
+    opt_state = tx.init(params)
     n_dev = jax.local_device_count()
     assert batch_size % n_dev == 0
 
     def train_step(state, batch):
-        variables, opt_state = state
+        params, extra_state, opt_state = state
         # reference feeds transposed 'H W C N' batches and rearranges
         # on-device (the double-transpose trick, train.py:80)
         images = jnp.transpose(batch['images'], (3, 0, 1, 2))
         loss_fn = _reference_loss_fn(model, images, batch['labels'])
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(variables)
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, extra_state)
         grads = jax.lax.pmean(grads, 'batch')
         loss = _reference_metrics_fold(loss, logits, batch['labels'])
-        updates, new_opt = tx.update(grads, opt_state, variables)
-        return (optax.apply_updates(variables, updates), new_opt), loss
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates),
+                new_state if new_state else extra_state, new_opt), loss
 
     train_fn = jax.pmap(train_step, axis_name='batch')
-    state = flax.jax_utils.replicate((variables, opt_state))
+    state = flax.jax_utils.replicate((params, extra_state, opt_state))
 
     per_dev = batch_size // n_dev
     rng = np.random.RandomState(0)

