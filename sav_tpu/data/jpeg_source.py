@@ -61,16 +61,31 @@ def decode_jpeg_fixed(path_or_file, decode_size: int) -> np.ndarray:
         # draft may overshoot (it only does power-of-two scales); ask for 2x
         # the target so the bilinear resize below still has headroom.
         img.draft('RGB', (decode_size * 2, decode_size * 2))
-        img = img.convert('RGB')
-        width, height = img.size
-        scale = decode_size / min(width, height)
-        new_w = max(decode_size, int(round(width * scale)))
-        new_h = max(decode_size, int(round(height * scale)))
-        img = img.resize((new_w, new_h), Image.BILINEAR)
-        x0 = (new_w - decode_size) // 2
-        y0 = (new_h - decode_size) // 2
-        img = img.crop((x0, y0, x0 + decode_size, y0 + decode_size))
-        return np.asarray(img, dtype=np.uint8)
+        return _resize_center_crop(img.convert('RGB'), decode_size)
+
+
+def _resize_center_crop(img, decode_size: int) -> np.ndarray:
+    """Keep-aspect resize-small + center crop of a PIL image -> uint8."""
+    from PIL import Image
+
+    width, height = img.size
+    scale = decode_size / min(width, height)
+    new_w = max(decode_size, int(round(width * scale)))
+    new_h = max(decode_size, int(round(height * scale)))
+    img = img.resize((new_w, new_h), Image.BILINEAR)
+    x0 = (new_w - decode_size) // 2
+    y0 = (new_h - decode_size) // 2
+    img = img.crop((x0, y0, x0 + decode_size, y0 + decode_size))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def resize_center_crop_array(array: np.ndarray, decode_size: int) -> np.ndarray:
+    """Same geometry for an already-decoded uint8 array (e.g. TFDS records)."""
+    from PIL import Image
+
+    if array.shape[:2] == (decode_size, decode_size):
+        return np.asarray(array, dtype=np.uint8)
+    return _resize_center_crop(Image.fromarray(array), decode_size)
 
 
 class JpegFolderSource:
@@ -100,14 +115,17 @@ class JpegFolderSource:
 
 
 class JpegTarSource:
-    """Random-access source over tar archives of JPEGs (webdataset-style
-    shards, or the ImageNet-21k-P distribution tars — the streaming converter
-    in ``sav_tpu.data.imagenet21k`` shares this layout).
+    """Random-access source over tar archives of ``<class>/<file>.jpg``
+    entries (the ImageNet-21k-P distribution layout — the streaming
+    converter in ``sav_tpu.data.imagenet21k`` shares it; reference:
+    data/custom_datasets/imagenet_21k_p_winter.py:75-100).
 
     Builds a one-time member index per tar (name -> offset) so access stays
-    O(1) per record; labels come from the top-level directory name inside
-    the archive (``<class>/<file>.jpg``), matching the 21k-P layout
-    (reference: data/custom_datasets/imagenet_21k_p_winter.py:75-100).
+    O(1) per record. Reads use ``os.pread`` (atomic offset+read): Grain's
+    reader pool calls ``__getitem__`` from many threads even with
+    ``worker_count=0``, so a shared seek()+read() file object would
+    interleave. Flat archives without class directories are rejected up
+    front — labels would be silently meaningless.
     """
 
     def __init__(self, tar_paths: Sequence[str], decode_size: int = 256):
@@ -129,7 +147,16 @@ class JpegTarSource:
                         continue
                     if not member.name.lower().endswith(('.jpg', '.jpeg')):
                         continue
-                    cls = member.name.split('/')[0]
+                    # normalize `tar -C root .`-style ./ prefixes
+                    name = member.name
+                    while name.startswith('./'):
+                        name = name[2:]
+                    if '/' not in name:
+                        raise ValueError(
+                            f'{path!r}: entry {member.name!r} has no class '
+                            f'directory; JpegTarSource derives labels from '
+                            f'<class>/<file>.jpg paths')
+                    cls = name.split('/')[0]
                     class_names.add(cls)
                     members.append((member.offset_data, member.size, cls))
             per_tar_members.append(members)
@@ -141,7 +168,7 @@ class JpegTarSource:
         if not entries:
             raise FileNotFoundError(f'no jpegs in tars {self._tar_paths!r}')
         self._entries = entries
-        self._files = [None] * len(self._tar_paths)
+        self._fds = [None] * len(self._tar_paths)
 
     def __repr__(self) -> str:
         return (f'JpegTarSource({self._tar_paths!r}, n={len(self)}, '
@@ -150,26 +177,26 @@ class JpegTarSource:
     def __len__(self) -> int:
         return len(self._entries)
 
-    def _file(self, tar_idx: int):
-        f = self._files[tar_idx]
-        if f is None:
-            f = open(self._tar_paths[tar_idx], 'rb')
-            self._files[tar_idx] = f
-        return f
+    def _fd(self, tar_idx: int) -> int:
+        fd = self._fds[tar_idx]
+        if fd is None:
+            # benign race: two threads may both open; one extra fd leaks
+            # per tar at worst, reads are per-call positioned either way
+            fd = os.open(self._tar_paths[tar_idx], os.O_RDONLY)
+            self._fds[tar_idx] = fd
+        return fd
 
     def __getitem__(self, index: int):
         import io
 
         tar_idx, offset, size, label = self._entries[index]
-        f = self._file(tar_idx)
-        f.seek(offset)
-        payload = io.BytesIO(f.read(size))
+        payload = io.BytesIO(os.pread(self._fd(tar_idx), size, offset))
         image = decode_jpeg_fixed(payload, self._decode_size)
         return {'image': image, 'label': np.int64(label)}
 
     def __getstate__(self):
         state = dict(self.__dict__)
-        state['_files'] = [None] * len(self._tar_paths)  # fds don't pickle
+        state['_fds'] = [None] * len(self._tar_paths)  # fds don't pickle
         return state
 
 

@@ -251,8 +251,6 @@ def create_dataset(name: str, batch_size: int, image_size: int,
                 return len(self._data)
 
             def __getitem__(self, index):
-                from PIL import Image
-
                 from sav_tpu.data import jpeg_source
 
                 rec = self._data[index]
@@ -261,20 +259,11 @@ def create_dataset(name: str, batch_size: int, image_size: int,
                     import io
                     image = jpeg_source.decode_jpeg_fixed(
                         io.BytesIO(image), decode_size)
-                elif image.shape[:2] != (decode_size, decode_size):
+                else:
                     # variable-size decoded records -> fixed frame so
                     # downstream jit shapes stay static
-                    img = Image.fromarray(image)
-                    width, height = img.size
-                    scale = decode_size / min(width, height)
-                    img = img.resize((max(decode_size, round(width * scale)),
-                                      max(decode_size, round(height * scale))),
-                                     Image.BILINEAR)
-                    x0 = (img.size[0] - decode_size) // 2
-                    y0 = (img.size[1] - decode_size) // 2
-                    image = np.asarray(
-                        img.crop((x0, y0, x0 + decode_size,
-                                  y0 + decode_size)), dtype=np.uint8)
+                    image = jpeg_source.resize_center_crop_array(
+                        image, decode_size)
                 return {'image': image, 'label': np.int64(rec['label'])}
 
         return GrainDataset(_TfdsSource(ds, f'{spec}/{split}'), batch_size,

@@ -190,19 +190,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref,
         v = _band(v_ref, 0, h, d)
 
         if single:
-            # No -inf masking pass: k/v are zero-padded beyond kv_len, so a
-            # padding column contributes exp(-m)*0 to the PV matmul. The
-            # reductions slice to the true length, and clamping m at 0
-            # bounds exp on padding columns (s_pad = 0 -> p_pad <= 1, no
-            # overflow) without changing the sliced softmax: scaling by
-            # exp(m - max(m, 0)) cancels between p and l.
-            s = _qk(q, k)
-            m = jnp.maximum(
-                jnp.max(s[:, :kv_len], axis=1, keepdims=True), 0.0)
+            # No -inf masking pass: every consumer of the logits slices to
+            # the true kv length, so padding columns never reach the
+            # softmax or the PV matmul (their values are irrelevant —
+            # Mosaic zero-masks the unaligned matmul K remainder), and the
+            # row max is the TRUE max, keeping exp stable for arbitrarily
+            # negative logits.
+            s = _qk(q, k)[:, :kv_len]
+            m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
-            l = jnp.sum(p[:, :kv_len], axis=1, keepdims=True)
+            l = jnp.sum(p, axis=1, keepdims=True)
             out_ref[0, :, h * d:(h + 1) * d] = (
-                _matmul(p.astype(v.dtype), v) / l).astype(out_ref.dtype)
+                _matmul(p.astype(v.dtype), v[:kv_len]) / l
+            ).astype(out_ref.dtype)
             lse_ref[0, h] = jnp.broadcast_to(m + jnp.log(l),
                                              lse_ref.shape[2:])
             continue
@@ -285,21 +285,23 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         lse = lse_ref[0, h][:, :1]
         delta = jnp.sum(o * do, axis=-1, keepdims=True)
 
-        # no masking pass needed (see _fwd_kernel): padding columns have
-        # s = 0 (k zero-padded), p_pad = exp(-lse) <= 1; their dv/dk rows
-        # are sliced away by the caller, dp_pad = do . v_pad = 0, and the
-        # nonzero ds_pad multiplies k_pad = 0 in dq.
-        s = _qk(q, k)
+        # no masking pass needed (see _fwd_kernel): logits are sliced to
+        # the true kv length everywhere, so padding-column values never
+        # enter any product; the dk/dv padding rows are written garbage-
+        # free via the sliced stores below and dropped by the caller's
+        # unpad slice anyway.
+        s = _qk(q, k)[:, :kv_len]
         p = jnp.exp(s - lse)
 
         dob = do.astype(v.dtype)
         pb = p.astype(dob.dtype)
-        dv_ref[0, :, h * d:(h + 1) * d] = _matmul_tn(
+        dv_ref[0, :kv_len, h * d:(h + 1) * d] = _matmul_tn(
             pb, dob).astype(dv_ref.dtype)
-        dp = _qk(dob, v)
+        dp = _qk(dob, v[:kv_len])
         ds = (p * (dp - delta)).astype(q.dtype)
-        dq_ref[0, :, h * d:(h + 1) * d] = _matmul(ds, k).astype(dq_ref.dtype)
-        dk_ref[0, :, h * d:(h + 1) * d] = _matmul_tn(
+        dq_ref[0, :, h * d:(h + 1) * d] = _matmul(
+            ds, k[:kv_len]).astype(dq_ref.dtype)
+        dk_ref[0, :kv_len, h * d:(h + 1) * d] = _matmul_tn(
             ds, q).astype(dk_ref.dtype)
 
 

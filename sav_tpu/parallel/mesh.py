@@ -78,7 +78,18 @@ def maybe_initialize_distributed():
     if not (os.environ.get('JAX_COORDINATOR_ADDRESS')
             or os.environ.get('COORDINATOR_ADDRESS')):
         return
-    jax.distributed.initialize()
+    # the launching script may have initialized the cluster itself (the
+    # standard multi-host pattern); jax.distributed keeps a global client —
+    # treat "already initialized" as success rather than crashing
+    if getattr(jax.distributed, 'global_state', None) is not None and \
+            jax.distributed.global_state.client is not None:
+        _distributed_initialized = True
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as exc:
+        if 'already' not in str(exc).lower():
+            raise
     _distributed_initialized = True
 
 

@@ -68,8 +68,7 @@ def ring_attention(query, key, value, *, axis_name: str):
 
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-    def step(carry, _):
-        k, v, acc, m, l = carry
+    def accumulate(k, v, acc, m, l):
         s = jnp.einsum('bqhd,bkhd->bhqk', query, k,
                        preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
@@ -79,15 +78,24 @@ def ring_attention(query, key, value, *, axis_name: str):
         acc = acc * corr[..., None] + jnp.einsum(
             'bhqk,bkhd->bhqd', p.astype(v.dtype), v,
             preferred_element_type=jnp.float32)
-        m = m_new
-        # rotate the kv shard to the next device; XLA overlaps this ICI
-        # transfer with the next iteration's einsums
+        return acc, m_new, l
+
+    # local shard first, then rotate-and-accumulate N-1 times: exactly
+    # N-1 ICI rotations, and every rotated shard is consumed (a rotate-last
+    # body would pay one extra, discarded transfer per call)
+    acc, m, l = accumulate(key, value, acc, m, l)
+
+    def step(carry, _):
+        k, v, acc, m, l = carry
+        # XLA overlaps this ICI transfer with the einsums above it in the
+        # previous iteration
         k = jax.lax.ppermute(k, axis_name, perm)
         v = jax.lax.ppermute(v, axis_name, perm)
+        acc, m, l = accumulate(k, v, acc, m, l)
         return (k, v, acc, m, l), ()
 
     (key, value, acc, m, l), _ = jax.lax.scan(
-        step, (key, value, acc, m, l), None, length=axis_size)
+        step, (key, value, acc, m, l), None, length=axis_size - 1)
 
     out = acc / l[..., None]
     return jnp.transpose(out, (0, 2, 1, 3)).astype(query.dtype)

@@ -53,6 +53,13 @@ class CheckpointManager:
             return state
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           state)
+        step_dir = os.path.join(self._directory, str(step))
+        if not os.path.isdir(os.path.join(step_dir, 'state')):
+            # legacy layout: checkpoints written before the composite
+            # (state + data) format stored the TrainState as the default
+            # item — keep those runs resumable
+            return self._manager.restore(
+                step, args=ocp.args.StandardRestore(abstract))
         restored = self._manager.restore(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(abstract)))

@@ -170,3 +170,29 @@ def test_dispatch_threshold_shapes():
     assert flash_attention.shape_supported(q, k, v)   # forced use works
     assert 577 * 577 < 1_000_000                      # ...but auto = XLA
     assert 3136 * 784 >= 1_000_000                    # CvT stage 1 = kernel
+
+
+def test_extreme_negative_logits_stable():
+    """Stable softmax must survive rows whose logits are all strongly
+    negative (review finding: a max(m, 0) clamp underflowed l to 0 and
+    overflowed the backward's padding-column probabilities to inf)."""
+    q, k, v = make_qkv(197, 197, 4, 64, batch=1)
+    q = q + 30.0   # scaled logits ~ -60..-100 against orthogonal-ish keys
+    k = k - 30.0
+
+    out_ref_ = reference(q, k, v)
+    out_kern = kernel(q, k, v)
+    assert np.isfinite(np.asarray(out_kern)).all()
+    # tolerance is loose: at this dynamic range the two (both correct)
+    # softmax formulations differ by f32 rounding, not by stability
+    np.testing.assert_allclose(np.asarray(out_kern), np.asarray(out_ref_),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss(fn, q):
+        return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+    g_kern = jax.grad(lambda q: loss(kernel, q))(q)
+    g_ref = jax.grad(lambda q: loss(reference, q))(q)
+    assert np.isfinite(np.asarray(g_kern)).all()
+    np.testing.assert_allclose(np.asarray(g_kern), np.asarray(g_ref),
+                               atol=2e-2, rtol=2e-2)

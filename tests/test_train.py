@@ -546,3 +546,31 @@ def test_trainer_resume_restores_state_and_data_position(tmp_path):
     metrics = resumed.run()
     assert int(jax.device_get(resumed.state.step)) == 4
     assert np.isfinite(metrics['loss'])
+
+
+def test_checkpoint_restores_legacy_layout(tmp_path):
+    """Checkpoints written before the composite (state + data) format
+    stored the TrainState as Orbax's default item; restore must fall back
+    to that layout instead of failing resume (review finding)."""
+    import orbax.checkpoint as ocp
+
+    from sav_tpu.train.checkpoint import CheckpointManager
+
+    mesh, model, tx, state = tiny_setup()
+    directory = os.fspath(tmp_path / 'ckpt')
+
+    legacy = ocp.CheckpointManager(
+        directory, options=ocp.CheckpointManagerOptions(create=True))
+    legacy.save(5, args=ocp.args.StandardSave(state))
+    legacy.wait_until_finished()
+    legacy.close()
+
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    fresh = steps_lib.shard_state(mesh, TrainState.create(variables, tx))
+    mgr = CheckpointManager(directory)
+    restored = mgr.restore(fresh)
+    mgr.close()
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
