@@ -372,7 +372,14 @@ class Trainer:
                 last_metrics['learning_rate'] = float(self.schedule(step))
                 n = next_n
                 self.logger.log(last_metrics, step)
-                if self.checkpoints is not None:
+                # checkpoint on the configured epoch cadence (or at the
+                # end), not every chunk — per-chunk async saves measured
+                # multi-second stalls waiting on the previous write
+                steps_per_ckpt = (c.steps_per_epoch
+                                  * c.checkpoint_every_epochs)
+                crossed = (step % steps_per_ckpt) < n
+                if self.checkpoints is not None and (
+                        crossed or step >= c.steps_total):
                     self.checkpoints.save(step, self.state,
                                           data_state=data_state)
         finally:
