@@ -197,7 +197,8 @@ class AugmentedArrayDataset:
 def create_dataset(name: str, batch_size: int, image_size: int,
                    num_classes: int = 1000, seed: int = 0,
                    mesh: Optional[Mesh] = None,
-                   augmentation: str = 'none', training: bool = True):
+                   augmentation: str = 'none', training: bool = True,
+                   num_workers: int = 0):
     """Dataset factory: 'synthetic', 'synthetic_augmented', or a path to an
     ``.npz`` file with uint8 'images' and int 'labels' arrays."""
     from sav_tpu.data.synthetic import SyntheticDataset
@@ -268,7 +269,8 @@ def create_dataset(name: str, batch_size: int, image_size: int,
 
         return GrainDataset(_TfdsSource(ds, f'{spec}/{split}'), batch_size,
                             image_size, augmentation=augmentation,
-                            training=training, seed=seed, mesh=mesh)
+                            training=training, seed=seed, mesh=mesh,
+                            num_workers=num_workers)
     if name.endswith('.npz') or name.endswith('.tar') or os.path.isdir(name):
         import glob as globlib
 
@@ -298,7 +300,7 @@ def create_dataset(name: str, batch_size: int, image_size: int,
                 f'class-subdirectory JPEGs, nor .tar shards')
         return GrainDataset(source, batch_size, image_size,
                             augmentation=augmentation, training=training,
-                            seed=seed, mesh=mesh)
+                            seed=seed, mesh=mesh, num_workers=num_workers)
     raise ValueError(
         f'Unknown dataset {name!r}; use synthetic, synthetic_augmented, an '
         f'.npz path/glob, a .tar of JPEGs, a directory of .npz/.tar shards, '

@@ -60,6 +60,7 @@ class TrainConfig:
     schedule: str = 'cosine'            # 'cosine' | 'wsd'
     scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
+    data_workers: int = 0               # Grain worker processes (0 = in-proc)
     log_every: int = 100
     eval_every_epochs: int = 5
     checkpoint_every_epochs: int = 10
@@ -175,7 +176,8 @@ class Trainer:
                                   num_classes=c.num_classes,
                                   seed=c.seed + seed_offset, mesh=self.mesh,
                                   augmentation=c.augmentation,
-                                  training=training)
+                                  training=training,
+                                  num_workers=c.data_workers)
         return SyntheticDataset(c.batch_size, c.img_size,
                                 num_classes=c.num_classes,
                                 seed=c.seed + seed_offset, mesh=self.mesh)

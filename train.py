@@ -89,12 +89,15 @@ from sav_tpu.train import TrainConfig, Trainer
 @optgroup.option('--images_per_epoch', type=int, default=None,
                  help='dataset size for epoch math (schedule warmup, eval '
                       'cadence); default: ImageNet-1k 1,281,167')
+@optgroup.option('--data_workers', type=int, default=0,
+                 help='Grain worker processes for host decode '
+                      '(0 = in-process reader threads)')
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
          scan_layers, remat, mu_dtype, ema_decay, schedule,
-         steps_per_dispatch, images_per_epoch, use_wandb):
+         steps_per_dispatch, images_per_epoch, data_workers, use_wandb):
     config = TrainConfig(
         model_name=model_name,
         img_size=img_size,
@@ -117,6 +120,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         ema_decay=ema_decay,
         schedule=schedule,
         steps_per_dispatch=steps_per_dispatch,
+        data_workers=data_workers,
         **({'images_per_epoch': images_per_epoch}
            if images_per_epoch else {}),
     )
