@@ -55,12 +55,20 @@ TRACKED_CONFIGS = (
     ('cait_s_24', 224, 128),
     ('cvt-13', 224, 64),
     ('tnt_s_patch16', 224, 64),
+    ('ceit_s', 224, 64),
     # @384: the flash-kernel dispatch region (L=577), the reference's own
     # large-resolution test point (reference: botnet_test.py:13-23,
     # cvt_test.py:16)
     ('vit_b_patch16', 384, 48),
     ('cait_s_24', 384, 48),
+    # ours-only: the reference BoTNet cannot run (botnet.py:185,227 crash)
+    # and even minimally patched its attention is not attention (softmax
+    # over one axis, value contraction drops the key grid) — no comparable
+    # baseline exists (see tests/test_golden_parity.py BoTNet notes)
+    ('botnet_t3', 224, 64),
 )
+
+NO_BASELINE = {'botnet_t3'}
 
 
 def _batch(batch_size, img=IMG, seed=1):
@@ -134,26 +142,37 @@ def _reference_model(model_name):
     model_cls, config = factory.MODEL_CONFIGS[model_name]
     ref_cls = getattr(reference_models, model_cls.__name__)
 
-    if model_cls.__name__ == 'CvT':
+    def jit_patched_ns(module):
         # Minimal jit-compatibility patch, math-identical: the reference
         # computes grid sides as int(jnp.sqrt(l)) / int(jnp.ceil(jnp.sqrt(
-        # l))) (reference: models/cvt.py:13,149), which raises
-        # ConcretizationTypeError under jit/scan tracing — the reference
-        # never jits its models, our benchmark methodology does. Rewritten
-        # to integer host math on the static shape, same values.
+        # l))) (reference: models/cvt.py:13,149, layers/feedforwards/
+        # leff.py:43), which raises ConcretizationTypeError under jit/scan
+        # tracing — the reference never jits its models, our benchmark
+        # methodology does. Rewritten to integer host math on the static
+        # shape, same values.
         import inspect
 
-        import models.cvt as ref_cvt_mod
-
-        src = inspect.getsource(ref_cvt_mod)
+        src = inspect.getsource(module)
         src = src.replace('int(jnp.ceil(jnp.sqrt(l)))',
                           '(math.isqrt(l) + (math.isqrt(l) ** 2 < l))')
         src = src.replace('int(jnp.sqrt(l))', 'math.isqrt(l)')
         assert 'int(jnp.' not in src
         ns = {}
         exec(compile('import math\n' + src,
-                     ref_cvt_mod.__file__ + ' (jit patch)', 'exec'), ns)
-        ref_cls = ns['CvT']
+                     module.__file__ + ' (jit patch)', 'exec'), ns)
+        return ns
+
+    if model_cls.__name__ == 'CvT':
+        import models.cvt as ref_cvt_mod
+        ref_cls = jit_patched_ns(ref_cvt_mod)['CvT']
+    elif model_cls.__name__ == 'CeiT':
+        import models.ceit as ref_ceit_mod
+        import models.layers.feedforwards.leff as ref_leff_mod
+        ceit_ns = jit_patched_ns(ref_ceit_mod)
+        # LeFFBlock is looked up from module globals at call time, so
+        # rebinding it in the exec'd namespace redirects the model
+        ceit_ns['LeFFBlock'] = jit_patched_ns(ref_leff_mod)['LeFFBlock']
+        ref_cls = ceit_ns['CeiT']
 
     return ref_cls(num_classes=1000, dtype=jnp.bfloat16, **config)
 
@@ -293,14 +312,17 @@ def bench_reference_as_written(model_name, img, batch_size,
 
 def bench_one(model_name, img, batch_size, with_as_written=True):
     ours = bench_ours(model_name, img, batch_size)
-    matched = bench_reference_matched(model_name, img, batch_size)
     result = {
         'metric': f'images/sec/chip {model_name} @{img} train step '
                   f'(bs={batch_size}, {jax.default_backend()})',
         'value': round(batch_size / ours, 2),
         'unit': 'images/sec/chip',
-        'vs_matched': round(matched / ours, 4),
     }
+    if model_name in NO_BASELINE:
+        result['vs_baseline'] = None   # no runnable reference equivalent
+        return result
+    matched = bench_reference_matched(model_name, img, batch_size)
+    result['vs_matched'] = round(matched / ours, 4)
     if with_as_written:
         as_written = bench_reference_as_written(model_name, img, batch_size)
         result['ref_as_written_ips'] = round(batch_size / as_written, 2)
