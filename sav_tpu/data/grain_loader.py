@@ -34,16 +34,24 @@ from sav_tpu.parallel.mesh import DATA_AXIS
 
 
 class NpzShardSource:
-    """Random-access Grain data source over a directory of .npz shards."""
+    """Random-access Grain data source over a directory of .npz shards.
+
+    Shard files are opened lazily per process: Grain's worker pool pickles
+    the source, and open NpzFile handles (BufferedReader) cannot cross the
+    pickle boundary. Only sizes are read at construction.
+    """
 
     def __init__(self, pattern: str):
         self._pattern = pattern
         self._paths: Sequence[str] = sorted(glob.glob(pattern))
         if not self._paths:
             raise FileNotFoundError(f'no shards match {pattern!r}')
-        self._shards = [np.load(p, mmap_mode=None) for p in self._paths]
-        self._sizes = [s['labels'].shape[0] for s in self._shards]
-        self._offsets = np.cumsum([0] + self._sizes)
+        sizes = []
+        for path in self._paths:
+            with np.load(path) as data:
+                sizes.append(data['labels'].shape[0])
+        self._offsets = np.cumsum([0] + sizes)
+        self._shards = [None] * len(self._paths)
 
     def __repr__(self) -> str:
         # stable across instances: Grain validates checkpointed iterator
@@ -53,11 +61,24 @@ class NpzShardSource:
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
+    def _shard(self, index: int):
+        data = self._shards[index]
+        if data is None:
+            # benign race under threaded readers: both load, one is kept
+            data = np.load(self._paths[index], mmap_mode=None)
+            self._shards[index] = data
+        return data
+
     def __getitem__(self, index: int):
         shard = int(np.searchsorted(self._offsets, index, side='right') - 1)
         local = index - self._offsets[shard]
-        data = self._shards[shard]
+        data = self._shard(shard)
         return {'image': data['images'][local], 'label': data['labels'][local]}
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state['_shards'] = [None] * len(self._paths)  # handles don't pickle
+        return state
 
 
 class GrainDataset:

@@ -351,6 +351,12 @@ class Trainer:
         executor = ThreadPoolExecutor(max_workers=1)
         n = min(c.steps_per_dispatch, c.steps_total - step)
         pending = executor.submit(fetch, step, n)
+        # checkpoint on the configured epoch cadence (plus a final save),
+        # not every chunk — per-chunk async saves measured multi-second
+        # stalls waiting on the previous write
+        steps_per_ckpt = c.steps_per_epoch * c.checkpoint_every_epochs
+        last_saved = step
+        last_data_state = None
         try:
             while step < c.steps_total:
                 # wall time per chunk includes any wait on the prefetch
@@ -372,20 +378,23 @@ class Trainer:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics['images_per_sec'] = c.batch_size * n / elapsed
                 last_metrics['learning_rate'] = float(self.schedule(step))
-                n = next_n
                 self.logger.log(last_metrics, step)
-                # checkpoint on the configured epoch cadence (or at the
-                # end), not every chunk — per-chunk async saves measured
-                # multi-second stalls waiting on the previous write
-                steps_per_ckpt = (c.steps_per_epoch
-                                  * c.checkpoint_every_epochs)
+                last_data_state = data_state
+                # did the consumed chunk cross a cadence boundary?
                 crossed = (step % steps_per_ckpt) < n
+                n = next_n
                 if self.checkpoints is not None and (
                         crossed or step >= c.steps_total):
                     self.checkpoints.save(step, self.state,
                                           data_state=data_state)
+                    last_saved = step
         finally:
             executor.shutdown(wait=False)
+
+        if self.checkpoints is not None and step > last_saved:
+            # early-exhaustion break: persist the trailing chunks too
+            self.checkpoints.save(step, self.state,
+                                  data_state=last_data_state)
 
         eval_metrics = self.evaluate(eval_data, c.eval_batches)
         self.logger.log(eval_metrics, step)

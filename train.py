@@ -86,7 +86,8 @@ from sav_tpu.train import TrainConfig, Trainer
 @optgroup.option('--steps_per_dispatch', type=int, default=1,
                  help='chain N train steps per device dispatch (hides host '
                       'round-trip latency; >1 scans N steps in one jit)')
-@optgroup.option('--images_per_epoch', type=int, default=None,
+@optgroup.option('--images_per_epoch', type=click.IntRange(min=1),
+                 default=None,
                  help='dataset size for epoch math (schedule warmup, eval '
                       'cadence); default: ImageNet-1k 1,281,167')
 @optgroup.option('--data_workers', type=int, default=0,
@@ -122,7 +123,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         steps_per_dispatch=steps_per_dispatch,
         data_workers=data_workers,
         **({'images_per_epoch': images_per_epoch}
-           if images_per_epoch else {}),
+           if images_per_epoch is not None else {}),
     )
     metrics = Trainer(config, use_wandb=use_wandb).run()
     click.echo(f'final metrics: {metrics}')
