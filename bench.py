@@ -319,7 +319,10 @@ def bench_one(model_name, img, batch_size, with_as_written=True):
         'unit': 'images/sec/chip',
     }
     if model_name in NO_BASELINE:
-        result['vs_baseline'] = None   # no runnable reference equivalent
+        # no runnable reference equivalent; keep both comparison keys so
+        # the JSONL schema is uniform across rows
+        result['vs_baseline'] = None
+        result['vs_matched'] = None
         return result
     matched = bench_reference_matched(model_name, img, batch_size)
     result['vs_matched'] = round(matched / ours, 4)

@@ -81,6 +81,63 @@ class NpzShardSource:
         return state
 
 
+class SubsetSource:
+    """Deterministic train/eval partition of any random-access source.
+
+    Selects a contiguous slice of a *fixed* pseudorandom permutation of the
+    source's indices, so ``[:90%]`` and ``[90%:]`` of the same source are
+    disjoint by construction and class-balanced in expectation (a plain
+    index slice of a class-sorted JPEG tree would drop whole classes). The
+    permutation seed is a constant, independent of the training seed: both
+    sides of a split must agree on it, across processes and restarts.
+
+    This is the split-discipline layer the reference got from reading
+    distinct TFDS splits per host (reference: data/input_pipeline.py:
+    109-122): there, train and eval were different dataset splits; here any
+    single source can be partitioned with the same guarantee.
+    """
+
+    _PERM_SEED = 0x5A5F  # fixed by contract — do not derive from user seed
+
+    def __init__(self, source, lo: float, hi: float):
+        if not 0.0 <= lo < hi <= 1.0:
+            raise ValueError(f'split range [{lo}:{hi}] must satisfy '
+                             f'0 <= lo < hi <= 1')
+        self._source = source
+        self._lo, self._hi = float(lo), float(hi)
+        n = len(source)
+        self._start = int(round(lo * n))
+        self._stop = int(round(hi * n))
+        if self._stop <= self._start:
+            raise ValueError(
+                f'split [{lo}:{hi}] of a {n}-example source is empty')
+        self._perm = None
+        if hasattr(source, 'class_names'):
+            self.class_names = source.class_names
+
+    def _indices(self) -> np.ndarray:
+        if self._perm is None:      # lazy: recomputed per pickled worker
+            perm = np.random.RandomState(self._PERM_SEED).permutation(
+                len(self._source))
+            self._perm = perm[self._start:self._stop]
+        return self._perm
+
+    def __repr__(self) -> str:
+        return (f'SubsetSource({self._source!r}, '
+                f'[{self._lo:g}:{self._hi:g}])')
+
+    def __len__(self) -> int:
+        return self._stop - self._start
+
+    def __getitem__(self, index: int):
+        return self._source[int(self._indices()[index])]
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state['_perm'] = None       # cheap to recompute; keep pickles small
+        return state
+
+
 class GrainDataset:
     """Deterministic, sharded Grain loader + on-device augmentation.
 
@@ -97,6 +154,12 @@ class GrainDataset:
         self.batch_size = batch_size
         if isinstance(source, str):
             source = NpzShardSource(source)
+        # finite batch count for this host's shard (eval keeps the ragged
+        # tail batch; Trainer.evaluate walks exactly this many batches to
+        # cover the full split, reference: input_pipeline.py:360-376)
+        per_host = len(source) // jax.process_count()
+        self.num_batches = (per_host // batch_size if training
+                            else -(-per_host // batch_size))
 
         shard_options = grain.ShardOptions(
             shard_index=jax.process_index(),

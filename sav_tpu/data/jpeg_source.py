@@ -80,12 +80,21 @@ def _resize_center_crop(img, decode_size: int) -> np.ndarray:
 
 
 def resize_center_crop_array(array: np.ndarray, decode_size: int) -> np.ndarray:
-    """Same geometry for an already-decoded uint8 array (e.g. TFDS records)."""
+    """Same geometry for an already-decoded uint8 array (e.g. TFDS records).
+
+    Grayscale ``(H, W)`` / ``(H, W, 1)`` and RGBA records are converted to
+    RGB so the output frame is always ``[decode_size, decode_size, 3]``.
+    """
     from PIL import Image
 
-    if array.shape[:2] == (decode_size, decode_size):
+    array = np.asarray(array)
+    if array.ndim == 3 and array.shape[-1] == 1:
+        array = array[..., 0]       # PIL wants 2-D for grayscale
+    if (array.ndim == 3 and array.shape[-1] == 3
+            and array.shape[:2] == (decode_size, decode_size)):
         return np.asarray(array, dtype=np.uint8)
-    return _resize_center_crop(Image.fromarray(array), decode_size)
+    return _resize_center_crop(Image.fromarray(array).convert('RGB'),
+                               decode_size)
 
 
 class JpegFolderSource:
@@ -197,6 +206,77 @@ class JpegTarSource:
     def __getstate__(self):
         state = dict(self.__dict__)
         state['_fds'] = [None] * len(self._tar_paths)  # fds don't pickle
+        return state
+
+
+class TfdsSource:
+    """Random-access Grain source over a ``tfds.data_source`` split.
+
+    TFDS's ArrayRecord reader gives index access without any tf.data graph
+    (reference builds tf.data from ``tfds.builder``, data/input_pipeline.py:
+    109-117); records route through the same fixed-frame decode as the JPEG
+    sources. Module-level and picklable: Grain's worker pool pickles the
+    data source into worker processes, so the ``tfds.data_source`` handle is
+    dropped on pickle and reopened lazily per process.
+
+    ``split=None`` means "the eval default": ``validation`` when the dataset
+    has one, else ``test`` (many TFDS datasets — cifar10, mnist — only ship
+    ``test``). An explicit split name is used verbatim.
+    """
+
+    def __init__(self, spec: str, split: str | None, decode_size: int):
+        self._spec = spec
+        self._decode_size = int(decode_size)
+        import tensorflow_datasets as tfds
+
+        if split is None or '[' not in split:
+            source = tfds.data_source(spec)
+            if split is None:
+                split = 'validation' if 'validation' in source else 'test'
+            if split not in source:
+                raise ValueError(
+                    f'tfds dataset {spec!r} has no split {split!r} '
+                    f'(available: {sorted(source)}); pass '
+                    f"'tfds:{spec},<split>' to pick one explicitly")
+            self._split = split
+            self._data = source[split]
+        else:                       # sub-split string, e.g. 'train[:90%]'
+            self._split = split
+            self._data = tfds.data_source(spec, split=split)
+        self._length = len(self._data)
+
+    def _open(self):
+        if self._data is None:      # reopened lazily after pickling
+            import tensorflow_datasets as tfds
+            if '[' in self._split:
+                self._data = tfds.data_source(self._spec, split=self._split)
+            else:
+                self._data = tfds.data_source(self._spec)[self._split]
+        return self._data
+
+    def __repr__(self) -> str:
+        return (f'TfdsSource({self._spec!r}, {self._split!r}, '
+                f'n={len(self)}, decode={self._decode_size})')
+
+    def __len__(self) -> int:
+        return self._length
+
+    def __getitem__(self, index: int):
+        import io
+
+        rec = self._open()[index]
+        image = rec['image']
+        if isinstance(image, bytes):    # SkipDecoding-style source
+            image = decode_jpeg_fixed(io.BytesIO(image), self._decode_size)
+        else:
+            # variable-size decoded records -> fixed frame so downstream
+            # jit shapes stay static
+            image = resize_center_crop_array(image, self._decode_size)
+        return {'image': image, 'label': np.int64(rec['label'])}
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state['_data'] = None           # tfds handles don't pickle
         return state
 
 

@@ -45,6 +45,46 @@ from sav_tpu.data.randaugment import RandAugment
 from sav_tpu.parallel.mesh import DATA_AXIS
 
 
+_SPLIT_FMT = re.compile(
+    r'(?P<name>[A-Za-z_]\w*)?'
+    r'(?:\[(?P<lo>\d+(?:\.\d+)?)?\s*%?:(?P<hi>\d+(?:\.\d+)?)?\s*%?\])?')
+
+
+def parse_split_fractions(spec: str):
+    """Parses a TFDS-style split spec into ``(name, lo, hi)`` fractions.
+
+    ``'train[:90%]' -> ('train', 0.0, 0.9)``; ``'train[90%:]' ->
+    ('train', 0.9, 1.0)``; ``'validation' -> ('validation', 0.0, 1.0)``;
+    a bare range ``'[5%:15%]'`` defaults the name to 'train'. For ``tfds:``
+    sources the name selects the TFDS split; for every other source the name
+    is cosmetic and the fractions select a deterministic permutation slice
+    (see ``grain_loader.SubsetSource``).
+    """
+    m = _SPLIT_FMT.fullmatch(spec.strip())
+    if not m or not m.group(0):
+        raise ValueError(
+            f'bad split spec {spec!r}; expected e.g. train, train[:90%], '
+            f'train[90%:], [5%:15%]')
+    name = m.group('name') or 'train'
+    lo = float(m.group('lo')) / 100.0 if m.group('lo') else 0.0
+    hi = float(m.group('hi')) / 100.0 if m.group('hi') else 1.0
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f'split range in {spec!r} is empty or out of order')
+    return name, lo, hi
+
+
+def parse_dataset_spec(name: str):
+    """Splits a dataset name from its optional ``?split=`` suffix.
+
+    ``'dir?split=train[:90%]' -> ('dir', ('train', 0.0, 0.9))``;
+    no suffix -> ``(name, None)``.
+    """
+    if '?split=' not in name:
+        return name, None
+    base, _, spec = name.rpartition('?split=')
+    return base, parse_split_fractions(spec)
+
+
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
     use_mix: bool = True
@@ -148,14 +188,36 @@ class AugmentedArrayDataset:
 
     The whole sample/augment graph is one jit per step: host work is zero
     beyond the initial device_put of the raw arrays.
+
+    Training samples uniformly with replacement (infinite stream); eval
+    walks the examples *sequentially once* — ``num_batches`` batches with a
+    mask-padded tail — so eval metrics cover each held-out example exactly
+    once (reference pads eval to fixed batches the same way,
+    data/input_pipeline.py:360-376).
+
+    ``split=(name, lo, hi)`` keeps only the ``[lo, hi)`` slice of the fixed
+    permutation shared with ``grain_loader.SubsetSource`` — disjoint ranges
+    give provably disjoint train/eval example sets.
     """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, image_size: int,
                  augmentation: str = 'cutmix_mixup_randaugment_405',
                  training: bool = True, seed: int = 0,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 split: Optional[tuple] = None):
         assert images.ndim == 4 and images.shape[0] == labels.shape[0]
+        if split is not None:
+            from sav_tpu.data.grain_loader import SubsetSource
+            _, lo, hi = split
+            n = images.shape[0]
+            start, stop = int(round(lo * n)), int(round(hi * n))
+            if stop <= start:
+                raise ValueError(
+                    f'split [{lo:g}:{hi:g}] of {n} examples is empty')
+            perm = np.random.RandomState(
+                SubsetSource._PERM_SEED).permutation(n)[start:stop]
+            images, labels = images[perm], np.asarray(labels)[perm]
         self.batch_size = batch_size
         self._images = jnp.asarray(images)
         self._labels = jnp.asarray(labels, jnp.int32)
@@ -165,18 +227,24 @@ class AugmentedArrayDataset:
         augment_fn = make_train_augment_fn(image_size,
                                            parse_augment_name(augmentation))
         num_examples = images.shape[0]
+        self.num_batches = (None if training
+                            else -(-num_examples // batch_size))
 
-        def make_batch(rng, data_images, data_labels):
-            r_sample, r_augment = jax.random.split(rng)
-            idx = jax.random.randint(r_sample, (batch_size,), 0,
-                                     num_examples)
-            raw = data_images[idx].astype(jnp.float32)
-            labels = data_labels[idx]
+        def make_batch(rng, start, data_images, data_labels):
             if training:
-                return augment_fn(r_augment, raw, labels)
+                r_sample, r_augment = jax.random.split(rng)
+                idx = jax.random.randint(r_sample, (batch_size,), 0,
+                                         num_examples)
+                raw = data_images[idx].astype(jnp.float32)
+                return augment_fn(r_augment, raw, data_labels[idx])
+            idx = start + jnp.arange(batch_size)
+            mask = (idx < num_examples).astype(jnp.float32)
+            idx = jnp.minimum(idx, num_examples - 1)
+            raw = data_images[idx].astype(jnp.float32)
             images = jax.vmap(
                 lambda im: preprocess.eval_preprocess(im, image_size))(raw)
-            return {'images': images, 'labels': labels}
+            return {'images': images, 'labels': data_labels[idx],
+                    'mask': mask}
 
         shardings = None
         if mesh is not None:
@@ -184,12 +252,15 @@ class AugmentedArrayDataset:
         self._make = jax.jit(make_batch, out_shardings=shardings)
 
     def batch(self, step: int):
+        if self.num_batches is not None and step >= self.num_batches:
+            raise StopIteration
         return self._make(jax.random.fold_in(self._base_rng, step),
+                          np.int32(step * self.batch_size),
                           self._images, self._labels)
 
     def __iter__(self):
         step = 0
-        while True:
+        while self.num_batches is None or step < self.num_batches:
             yield self.batch(step)
             step += 1
 
@@ -198,12 +269,33 @@ def create_dataset(name: str, batch_size: int, image_size: int,
                    num_classes: int = 1000, seed: int = 0,
                    mesh: Optional[Mesh] = None,
                    augmentation: str = 'none', training: bool = True,
-                   num_workers: int = 0):
+                   num_workers: int = 0, split: Optional[tuple] = None):
     """Dataset factory: 'synthetic', 'synthetic_augmented', or a path to an
-    ``.npz`` file with uint8 'images' and int 'labels' arrays."""
+    ``.npz`` file with uint8 'images' and int 'labels' arrays.
+
+    Every name may carry a ``?split=`` suffix (grammar:
+    ``parse_split_fractions``) or an explicit ``split=(name, lo, hi)``
+    argument. For ``tfds:`` sources the split *name* picks the TFDS split
+    and the fractions (if any) select a deterministic permutation subset of
+    it; for array/JPEG/tar sources the fractions partition the single
+    source — ``[:90%]`` for train and ``[90%:]`` for eval are disjoint by
+    construction (reference reads distinct per-split instructions instead,
+    data/input_pipeline.py:109-122).
+    """
     from sav_tpu.data.synthetic import SyntheticDataset
 
+    name, inline_split = parse_dataset_spec(name)
+    if inline_split is not None:
+        if split is not None:
+            raise ValueError(
+                f'{name!r}: split given both inline (?split=) and as an '
+                f'argument')
+        split = inline_split
+
     if name == 'synthetic':
+        if split is not None:
+            raise ValueError("'synthetic' is an infinite stream; "
+                             'splits do not apply')
         return SyntheticDataset(batch_size, image_size,
                                 num_classes=num_classes, seed=seed,
                                 mesh=mesh)
@@ -213,13 +305,15 @@ def create_dataset(name: str, batch_size: int, image_size: int,
         labels = rng.randint(0, num_classes, (256,))
         return AugmentedArrayDataset(images, labels, batch_size, image_size,
                                      augmentation=augmentation,
-                                     training=training, seed=seed, mesh=mesh)
+                                     training=training, seed=seed, mesh=mesh,
+                                     split=split)
     if name.endswith('.npz') and '*' not in name:
         arrays = np.load(name)
         return AugmentedArrayDataset(arrays['images'], arrays['labels'],
                                      batch_size, image_size,
                                      augmentation=augmentation,
-                                     training=training, seed=seed, mesh=mesh)
+                                     training=training, seed=seed, mesh=mesh,
+                                     split=split)
     if name.startswith('tfds:'):
         # TFDS-backed ImageNet et al. (reference: data/input_pipeline.py:
         # 109-117 builds from tfds.builder('imagenet2012:5.1.0')). Uses
@@ -227,66 +321,50 @@ def create_dataset(name: str, batch_size: int, image_size: int,
         # the same Grain loader + on-device augmentation serve it; no
         # tf.data graph anywhere.
         try:
-            import tensorflow_datasets as tfds
+            import tensorflow_datasets as tfds  # noqa: F401
         except ImportError as exc:
             raise ImportError(
                 "dataset 'tfds:...' requires tensorflow_datasets "
                 '(not installed in this image)') from exc
-        from sav_tpu.data.grain_loader import GrainDataset
+        from sav_tpu.data.grain_loader import GrainDataset, SubsetSource
+        from sav_tpu.data.jpeg_source import TfdsSource
 
         spec = name[len('tfds:'):]
-        split = 'train' if training else 'validation'
-        if ',' in spec:
-            spec, split = spec.split(',', 1)
-        ds = tfds.data_source(spec)[split]
+        # default: 'train' for training, TFDS's validation/test for eval
+        tfds_split = 'train' if training else None
+        lo, hi = 0.0, 1.0
+        if ',' in spec:         # verbatim TFDS split, e.g. 'name,train[:5%]'
+            if split is not None:
+                raise ValueError(
+                    f'{name!r}: split given both via ",<split>" and '
+                    f'?split=/argument')
+            spec, tfds_split = spec.split(',', 1)
+        elif split is not None:
+            tfds_split, lo, hi = split
         decode_size = max(int(round(image_size / 0.875)), image_size)
-
-        class _TfdsSource:
-            def __init__(self, data, repr_key):
-                self._data, self._key = data, repr_key
-
-            def __repr__(self):
-                return f'TfdsSource({self._key!r}, n={len(self)})'
-
-            def __len__(self):
-                return len(self._data)
-
-            def __getitem__(self, index):
-                from sav_tpu.data import jpeg_source
-
-                rec = self._data[index]
-                image = rec['image']
-                if isinstance(image, bytes):     # SkipDecoding-style source
-                    import io
-                    image = jpeg_source.decode_jpeg_fixed(
-                        io.BytesIO(image), decode_size)
-                else:
-                    # variable-size decoded records -> fixed frame so
-                    # downstream jit shapes stay static
-                    image = jpeg_source.resize_center_crop_array(
-                        image, decode_size)
-                return {'image': image, 'label': np.int64(rec['label'])}
-
-        return GrainDataset(_TfdsSource(ds, f'{spec}/{split}'), batch_size,
-                            image_size, augmentation=augmentation,
-                            training=training, seed=seed, mesh=mesh,
-                            num_workers=num_workers)
+        source = TfdsSource(spec, tfds_split, decode_size)
+        if (lo, hi) != (0.0, 1.0):
+            source = SubsetSource(source, lo, hi)
+        return GrainDataset(source, batch_size, image_size,
+                            augmentation=augmentation, training=training,
+                            seed=seed, mesh=mesh, num_workers=num_workers)
     if name.endswith('.npz') or name.endswith('.tar') or os.path.isdir(name):
         import glob as globlib
 
-        from sav_tpu.data.grain_loader import GrainDataset
+        from sav_tpu.data.grain_loader import (GrainDataset, NpzShardSource,
+                                               SubsetSource)
         from sav_tpu.data import jpeg_source
 
         # JPEG decode to ~= eval resize-small geometry; the device-side
         # distorted-bbox crop then works from this frame.
         decode_size = max(int(round(image_size / 0.875)), image_size)
         if name.endswith('.npz'):
-            source = name                      # glob pattern or single file
+            source = NpzShardSource(name)      # glob pattern or single file
         elif name.endswith('.tar'):
             tars = sorted(globlib.glob(name)) if '*' in name else [name]
             source = jpeg_source.JpegTarSource(tars, decode_size=decode_size)
         elif globlib.glob(os.path.join(name, '*.npz')):
-            source = os.path.join(name, '*.npz')
+            source = NpzShardSource(os.path.join(name, '*.npz'))
         elif jpeg_source.looks_like_jpeg_folder(name):
             source = jpeg_source.JpegFolderSource(name,
                                                   decode_size=decode_size)
@@ -298,6 +376,10 @@ def create_dataset(name: str, batch_size: int, image_size: int,
             raise ValueError(
                 f'directory {name!r} holds neither .npz shards, '
                 f'class-subdirectory JPEGs, nor .tar shards')
+        if split is not None:
+            _, lo, hi = split
+            if (lo, hi) != (0.0, 1.0):
+                source = SubsetSource(source, lo, hi)
         return GrainDataset(source, batch_size, image_size,
                             augmentation=augmentation, training=training,
                             seed=seed, mesh=mesh, num_workers=num_workers)

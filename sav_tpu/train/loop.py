@@ -50,6 +50,13 @@ class TrainConfig:
     num_classes: int = 1000
     dtype: str = 'bfloat16'
     dataset: str = 'synthetic'
+    # Separate eval source (reference evaluates imagenet_v2 while training
+    # on imagenet2012, data/input_pipeline.py:109-117). When None and
+    # `dataset` is a single real source, `holdout_fraction` of it is held
+    # out for eval (disjoint permutation split) so eval never scores
+    # training images; tfds: sources use their own validation/test split.
+    eval_dataset: Optional[str] = None
+    holdout_fraction: float = 0.05      # 0 disables the implicit holdout
     images_per_epoch: int = IMAGENET_TRAIN_IMAGES
     total_steps: Optional[int] = None       # overrides epoch math if set
     model_parallelism: int = 1
@@ -64,7 +71,10 @@ class TrainConfig:
     log_every: int = 100
     eval_every_epochs: int = 5
     checkpoint_every_epochs: int = 10
-    eval_batches: int = 16
+    # None = the full eval split for finite sources (reference pads up to
+    # the whole split, input_pipeline.py:360-376); infinite sources fall
+    # back to 16 batches
+    eval_batches: Optional[int] = None
     profile_steps: Optional[tuple] = None   # (start_step, stop_step)
     profile_dir: str = '/tmp/sav_tpu_profile'
 
@@ -165,24 +175,48 @@ class Trainer:
     def _dataset(self, seed_offset: int = 0,
                  training: bool = True) -> SyntheticDataset:
         c = self.config
-        if c.dataset != 'synthetic':
-            from sav_tpu.data.pipeline import create_dataset
-            # eval data goes through eval_preprocess (crop_resize) with no
-            # augmentation — the reference evaluates a clean split
-            # (reference: data/input_pipeline.py:357-377); scoring the model
-            # on mixup/RandAugment batches would skew every eval metric.
-            return create_dataset(c.dataset, batch_size=c.batch_size,
-                                  image_size=c.img_size,
-                                  num_classes=c.num_classes,
-                                  seed=c.seed + seed_offset, mesh=self.mesh,
-                                  augmentation=c.augmentation,
-                                  training=training,
-                                  num_workers=c.data_workers)
-        return SyntheticDataset(c.batch_size, c.img_size,
-                                num_classes=c.num_classes,
-                                seed=c.seed + seed_offset, mesh=self.mesh)
+        name = c.dataset if training else (c.eval_dataset or c.dataset)
+        if name == 'synthetic':
+            return SyntheticDataset(c.batch_size, c.img_size,
+                                    num_classes=c.num_classes,
+                                    seed=c.seed + seed_offset,
+                                    mesh=self.mesh)
+        from sav_tpu.data.pipeline import create_dataset, parse_dataset_spec
 
-    def evaluate(self, dataset, num_batches: int) -> Dict[str, float]:
+        # eval data goes through eval_preprocess (crop_resize) with no
+        # augmentation — the reference evaluates a clean split
+        # (reference: data/input_pipeline.py:357-377); scoring the model
+        # on mixup/RandAugment batches would skew every eval metric.
+        split = None
+        base, inline = parse_dataset_spec(name)
+        if (inline is None and c.eval_dataset is None and c.holdout_fraction
+                and not base.startswith('tfds:')):
+            # train and eval share one real source with no explicit split:
+            # hold out the tail `holdout_fraction` of the fixed permutation
+            # for eval — the two slices are disjoint by construction, so
+            # eval never scores training images. tfds: sources already get
+            # distinct train vs validation/test splits above.
+            h = c.holdout_fraction
+            split = (('train', 0.0, 1.0 - h) if training
+                     else ('holdout', 1.0 - h, 1.0))
+            if training:
+                logging.info(
+                    'no eval_dataset/split given: holding out the last '
+                    '%.1f%% of %r for eval', 100 * h, base)
+        return create_dataset(name, batch_size=c.batch_size,
+                              image_size=c.img_size,
+                              num_classes=c.num_classes,
+                              seed=c.seed + seed_offset, mesh=self.mesh,
+                              augmentation=c.augmentation,
+                              training=training,
+                              num_workers=c.data_workers, split=split)
+
+    def evaluate(self, dataset,
+                 num_batches: Optional[int] = None) -> Dict[str, float]:
+        if num_batches is None:
+            # full split when the source is finite; infinite (synthetic)
+            # sources get a fixed window
+            num_batches = getattr(dataset, 'num_batches', None) or 16
         sums = None
         for step in range(num_batches):
             try:
@@ -256,11 +290,12 @@ class Trainer:
 
             next_step = step + 1
             if self.checkpoints is not None and (
-                    next_step % steps_per_ckpt == 0
+                    (steps_per_ckpt and next_step % steps_per_ckpt == 0)
                     or next_step == c.steps_total):
                 self._save_checkpoint(next_step, train_data)
 
-            if next_step % steps_per_eval == 0 or next_step == c.steps_total:
+            if ((steps_per_eval and next_step % steps_per_eval == 0)
+                    or next_step == c.steps_total):
                 eval_metrics = self.evaluate(eval_data, c.eval_batches)
                 self.logger.log(eval_metrics, next_step)
                 last_metrics.update(eval_metrics)
@@ -381,7 +416,8 @@ class Trainer:
                 self.logger.log(last_metrics, step)
                 last_data_state = data_state
                 # did the consumed chunk cross a cadence boundary?
-                crossed = (step % steps_per_ckpt) < n
+                # (guarded: checkpoint_every_epochs=0 disables the cadence)
+                crossed = steps_per_ckpt > 0 and (step % steps_per_ckpt) < n
                 n = next_n
                 if self.checkpoints is not None and (
                         crossed or step >= c.steps_total):

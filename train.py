@@ -93,12 +93,23 @@ from sav_tpu.train import TrainConfig, Trainer
 @optgroup.option('--data_workers', type=int, default=0,
                  help='Grain worker processes for host decode '
                       '(0 = in-process reader threads)')
+@optgroup.option('--eval_data_dir', type=str, default=None,
+                 help='separate eval dataset; default: a held-out '
+                      '--holdout_fraction slice of --data_dir (real '
+                      'sources), or the validation/test split (tfds:)')
+@optgroup.option('--holdout_fraction', type=float, default=0.05,
+                 help='fraction of --data_dir held out for eval when no '
+                      '--eval_data_dir/?split= is given (0 disables)')
+@optgroup.option('--eval_batches', type=int, default=None,
+                 help='eval batches per evaluation; default: the full '
+                      'eval split (finite sources)')
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
          scan_layers, remat, mu_dtype, ema_decay, schedule,
-         steps_per_dispatch, images_per_epoch, data_workers, use_wandb):
+         steps_per_dispatch, images_per_epoch, data_workers, eval_data_dir,
+         holdout_fraction, eval_batches, use_wandb):
     config = TrainConfig(
         model_name=model_name,
         img_size=img_size,
@@ -122,6 +133,9 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         schedule=schedule,
         steps_per_dispatch=steps_per_dispatch,
         data_workers=data_workers,
+        eval_dataset=eval_data_dir,
+        holdout_fraction=holdout_fraction,
+        eval_batches=eval_batches,
         **({'images_per_epoch': images_per_epoch}
            if images_per_epoch is not None else {}),
     )
