@@ -12,8 +12,8 @@ from typing import Callable, Tuple, Union
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sav_tpu.nn import (AddAbsPosEmbed, FFBlock, PatchEmbedBlock,
-                        SelfAttentionBlock)
+from sav_tpu.nn import (AddAbsPosEmbed, FFBlock, FixedPositionalEmbedding,
+                        PatchEmbedBlock, SelfAttentionBlock)
 
 
 class EncoderBlock(nn.Module):
@@ -28,6 +28,7 @@ class EncoderBlock(nn.Module):
     use_kernel: Union[str, bool] = 'auto'
     fused_qkv: bool = False
     quantized: bool = False
+    rotary: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -37,7 +38,8 @@ class EncoderBlock(nn.Module):
                                out_dropout_rate=self.dropout_rate,
                                dtype=self.dtype,
                                use_kernel=self.use_kernel,
-                               fused_qkv=self.fused_qkv)(
+                               fused_qkv=self.fused_qkv,
+                               rotary=self.rotary)(
                                    x, is_training=is_training)
         x = x + inputs
 
@@ -78,10 +80,24 @@ class Encoder(nn.Module):
     fused_qkv: bool = False
     scan_layers: bool = False
     quantized: bool = False
+    pos_embed: str = 'learned'
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        x = AddAbsPosEmbed()(inputs)
+        # 'learned' is the reference default (AddAbsPosEmbed, models/vit.py:
+        # 44-46); 'fixed' swaps in the parameter-free sinusoidal table;
+        # 'rotary' drops the additive embedding and rotates q/k inside every
+        # attention block instead (the reference's TODO, README.md:5).
+        if self.pos_embed == 'learned':
+            x = AddAbsPosEmbed()(inputs)
+        elif self.pos_embed == 'fixed':
+            x = FixedPositionalEmbedding(dtype=self.dtype)(inputs)
+        elif self.pos_embed in ('rotary', 'none'):
+            x = inputs
+        else:
+            raise ValueError(
+                f'pos_embed must be learned|fixed|rotary|none, '
+                f'got {self.pos_embed!r}')
         x = nn.Dropout(rate=self.dropout_rate)(x,
                                                deterministic=not is_training)
         block_kwargs = dict(num_heads=self.num_heads,
@@ -92,7 +108,8 @@ class Encoder(nn.Module):
                             dtype=self.dtype,
                             use_kernel=self.use_kernel,
                             fused_qkv=self.fused_qkv,
-                            quantized=self.quantized)
+                            quantized=self.quantized,
+                            rotary=self.pos_embed == 'rotary')
         if self.scan_layers:
             scanned = nn.scan(ScanEncoderBlock,
                               variable_axes={'params': 0},
@@ -124,6 +141,7 @@ class ViT(nn.Module):
     fused_qkv: bool = False
     scan_layers: bool = False
     quantized: bool = False
+    pos_embed: str = 'learned'      # learned | fixed | rotary | none
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -148,7 +166,8 @@ class ViT(nn.Module):
                     use_kernel=self.use_kernel,
                     fused_qkv=self.fused_qkv,
                     scan_layers=self.scan_layers,
-                    quantized=self.quantized)(x, is_training=is_training)
+                    quantized=self.quantized,
+                    pos_embed=self.pos_embed)(x, is_training=is_training)
 
         return nn.Dense(features=self.num_classes,
                         dtype=self.dtype,

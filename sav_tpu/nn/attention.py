@@ -99,6 +99,11 @@ class AttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
     fused_qkv: bool = False
+    # Rotary position embedding applied to q/k after projection (the
+    # reference shipped rotary broken and unused, models/layers/
+    # position_embed.py:23-45 + README TODO; here it is a first-class
+    # attention option, parameter-free so checkpoints are unaffected).
+    rotary: bool = False
 
     @nn.compact
     def __call__(self, inputs_q, inputs_kv, is_training: bool):
@@ -122,6 +127,18 @@ class AttentionBlock(nn.Module):
             query = projection(name='queries')(inputs_q)
             key = projection(name='keys')(inputs_kv)
             value = projection(name='values')(inputs_kv)
+
+        if self.rotary:
+            from sav_tpu.nn.posembed import (apply_rotary_heads,
+                                             sincos_frequencies)
+            assert head_ch % 2 == 0, 'rotary needs an even head dim'
+            # queries and keys may differ in length (cross-attention);
+            # absolute position tables rotate each independently and the
+            # dot product sees only relative offsets
+            query = apply_rotary_heads(
+                query, sincos_frequencies(query.shape[-3], head_ch))
+            key = apply_rotary_heads(
+                key, sincos_frequencies(key.shape[-3], head_ch))
 
         pre_mix = post_mix = None
         if self.talking_heads:

@@ -58,6 +58,18 @@ def apply_rotary_pos_emb(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     return x * cos + rotate_every_two(x) * sin
 
 
+def apply_rotary_heads(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Rotary embedding for per-head projections ``[..., seq, heads, dim]``.
+
+    Same rotation as :func:`apply_rotary_pos_emb` but broadcast over the
+    heads axis that sits between the sequence and feature axes (the q/k
+    layout ``AttentionBlock`` produces).
+    """
+    sin = repeat(jnp.sin(freqs), 'l d -> l 1 (d two)', two=2).astype(x.dtype)
+    cos = repeat(jnp.cos(freqs), 'l d -> l 1 (d two)', two=2).astype(x.dtype)
+    return x * cos + rotate_every_two(x) * sin
+
+
 class FixedPositionalEmbedding(nn.Module):
     """Fixed sinusoidal positional embedding added to the input."""
 

@@ -65,6 +65,7 @@ class TrainConfig:
     mu_dtype: Optional[str] = None      # e.g. 'bfloat16' first Adam moment
     ema_decay: Optional[float] = None   # params EMA; eval uses the average
     schedule: str = 'cosine'            # 'cosine' | 'wsd'
+    pos_embed: str = 'learned'          # learned | fixed | rotary (ViT)
     scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
     data_workers: int = 0               # Grain worker processes (0 = in-proc)
@@ -124,6 +125,8 @@ class Trainer:
         model_kwargs = {}
         if config.scan_layers:
             model_kwargs['scan_layers'] = True
+        if config.pos_embed != 'learned':
+            model_kwargs['pos_embed'] = config.pos_embed
         self.model = create_model(config.model_name,
                                   num_classes=config.num_classes,
                                   dtype=jnp.dtype(config.dtype),

@@ -83,6 +83,11 @@ from sav_tpu.train import TrainConfig, Trainer
                  help='params EMA decay (e.g. 0.9999); eval uses the EMA')
 @optgroup.option('--schedule', type=click.Choice(['cosine', 'wsd']),
                  default='cosine', help='LR schedule family')
+@optgroup.option('--pos_embed',
+                 type=click.Choice(['learned', 'fixed', 'rotary', 'none']),
+                 default='learned',
+                 help='ViT position embedding: learned absolute (reference '
+                      'default), fixed sinusoidal, or rotary on q/k')
 @optgroup.option('--steps_per_dispatch', type=int, default=1,
                  help='chain N train steps per device dispatch (hides host '
                       'round-trip latency; >1 scans N steps in one jit)')
@@ -107,7 +112,7 @@ from sav_tpu.train import TrainConfig, Trainer
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
-         scan_layers, remat, mu_dtype, ema_decay, schedule,
+         scan_layers, remat, mu_dtype, ema_decay, schedule, pos_embed,
          steps_per_dispatch, images_per_epoch, data_workers, eval_data_dir,
          holdout_fraction, eval_batches, use_wandb):
     config = TrainConfig(
@@ -131,6 +136,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         mu_dtype=mu_dtype,
         ema_decay=ema_decay,
         schedule=schedule,
+        pos_embed=pos_embed,
         steps_per_dispatch=steps_per_dispatch,
         data_workers=data_workers,
         eval_dataset=eval_data_dir,
