@@ -41,9 +41,20 @@ def create_mesh(devices=None, model_parallelism: int = 1,
             raise ValueError(
                 f'{per_slice} local devices not divisible by '
                 f'model_parallelism={model_parallelism}')
-        grid = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(per_slice // model_parallelism, model_parallelism),
-            dcn_mesh_shape=(jax.process_count(), 1))
+        try:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(per_slice // model_parallelism,
+                            model_parallelism),
+                dcn_mesh_shape=(jax.process_count(), 1))
+        except ValueError:
+            # multi-process CPU clusters (and any backend without slice
+            # attributes) report a single slice; a process-major device
+            # order gives the same DCN-major data axis — intra-host
+            # neighbors adjacent, cross-host hops outermost
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            grid = np.asarray(devs).reshape(
+                len(devs) // model_parallelism, model_parallelism)
         return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
     devices = np.asarray(devices if devices is not None else jax.devices())
@@ -85,8 +96,20 @@ def maybe_initialize_distributed():
             jax.distributed.global_state.client is not None:
         _distributed_initialized = True
         return
+    # JAX's cluster auto-detection covers TPU/Slurm/OMPI/k8s but has no
+    # generic env-var path for process identity; a plain launcher (or the
+    # 2-process CPU-cluster test) specifies membership explicitly via
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID next to the coordinator address.
+    kwargs = {}
+    if os.environ.get('JAX_NUM_PROCESSES'):
+        kwargs = dict(
+            coordinator_address=(os.environ.get('JAX_COORDINATOR_ADDRESS')
+                                 or os.environ.get('COORDINATOR_ADDRESS')),
+            num_processes=int(os.environ['JAX_NUM_PROCESSES']),
+            process_id=int(os.environ['JAX_PROCESS_ID']),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as exc:
         if 'already' not in str(exc).lower():
             raise
