@@ -19,15 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
+SEQ_AXIS = 'seq'
 
 
 def create_mesh(devices=None, model_parallelism: int = 1,
-                hybrid: bool = False) -> Mesh:
+                hybrid: bool = False,
+                sequence_parallelism: int = 1) -> Mesh:
     """Builds a ('data', 'model') mesh over the given (or all) devices.
 
     ``model_parallelism=1`` is pure data parallelism — the reference's only
     strategy. The model axis is placed innermost so tensor-parallel
     collectives ride the fastest ICI links.
+
+    ``sequence_parallelism>1`` inserts a ``seq`` axis between data and
+    model — the ring-attention axis (``parallel.ring_attention``): k/v
+    shards rotate over neighboring devices, so it too wants ICI adjacency.
+    The axis only exists when requested, keeping 2-axis meshes unchanged.
 
     With ``hybrid=True`` on a multi-process (multi-slice) run, the data
     axis is laid out DCN-major via ``create_hybrid_device_mesh`` so the
@@ -58,10 +65,16 @@ def create_mesh(devices=None, model_parallelism: int = 1,
         return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if devices.size % model_parallelism:
+    inner = model_parallelism * sequence_parallelism
+    if devices.size % inner:
         raise ValueError(
-            f'{devices.size} devices not divisible by '
-            f'model_parallelism={model_parallelism}')
+            f'{devices.size} devices not divisible by model_parallelism='
+            f'{model_parallelism} * sequence_parallelism='
+            f'{sequence_parallelism}')
+    if sequence_parallelism > 1:
+        grid = devices.reshape(devices.size // inner, sequence_parallelism,
+                               model_parallelism)
+        return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     grid = devices.reshape(devices.size // model_parallelism,
                            model_parallelism)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 NEG_INF = -1e30
 
@@ -112,3 +113,64 @@ def ring_self_attention(x, *, axis_name: str, num_heads: int):
     qkv = x.reshape(batch, l_local, num_heads, ch // num_heads)
     return ring_attention(qkv, qkv, qkv, axis_name=axis_name).reshape(
         batch, l_local, ch)
+
+
+def sharded_ring_attention(mesh, query, key, value):
+    """Ring attention on GLOBAL ``[B, L, H, D]`` arrays over a seq-axis mesh.
+
+    The shard_map entry point for sequence parallelism: batch shards over
+    ``data``, sequence over ``seq`` (``create_mesh(sequence_parallelism=N)``
+    adds the axis), and each device holds ``L / N`` of the tokens while the
+    ring rotation streams every k/v shard past every query shard. Usable
+    directly inside a jitted train step — GSPMD repartitions the operands to
+    the required layout.
+    """
+    from sav_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+    if SEQ_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f'mesh {dict(mesh.shape)} has no {SEQ_AXIS!r} axis; build it '
+            f'with create_mesh(sequence_parallelism=N)')
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(DATA_AXIS, SEQ_AXIS, None, None)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, axis_name=SEQ_AXIS),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(query, key, value)
+
+
+class RingSelfAttentionBlock(nn.Module):
+    """Drop-in ``SelfAttentionBlock`` running the attention core
+    ring-sharded over ``mesh``'s ``seq`` axis.
+
+    Parameter tree (queries/keys/values/DenseGeneral_0) matches
+    ``sav_tpu.nn.SelfAttentionBlock`` without talking-heads/dropout, so
+    parameters trained with the single-device block load unchanged — only
+    the execution strategy differs. Dropout-free: the sequence-parallel
+    regime (L >> the zoo's 3136) pairs with models that regularize
+    elsewhere; add attention dropout inside ``ring_attention`` if ever
+    needed.
+    """
+
+    num_heads: int
+    mesh: object                        # jax.sharding.Mesh (hashable)
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, is_training: bool = False):
+        in_ch = inputs.shape[-1]
+        assert in_ch % self.num_heads == 0
+        head_ch = in_ch // self.num_heads
+        projection = functools.partial(
+            nn.DenseGeneral, axis=-1,
+            features=(self.num_heads, head_ch),
+            use_bias=self.use_bias, dtype=self.dtype)
+        query = projection(name='queries')(inputs)
+        key = projection(name='keys')(inputs)
+        value = projection(name='values')(inputs)
+        x = sharded_ring_attention(self.mesh, query, key, value)
+        return nn.DenseGeneral(features=in_ch, axis=(-2, -1),
+                               use_bias=self.use_bias,
+                               dtype=self.dtype)(x)

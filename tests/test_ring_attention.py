@@ -90,3 +90,75 @@ def test_ring_memory_is_sharded(mesh):
     assert out.sharding.spec == P(None, 'sp')
     # uniform inputs -> attention output equals v everywhere
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+# ---------------- library wiring: seq mesh axis + train-step equality ----
+
+
+def test_create_mesh_sequence_axis():
+    from sav_tpu.parallel.mesh import create_mesh
+
+    m = create_mesh(sequence_parallelism=4)
+    assert dict(m.shape) == {'data': 2, 'seq': 4, 'model': 1}
+    m2 = create_mesh(sequence_parallelism=2, model_parallelism=2)
+    assert dict(m2.shape) == {'data': 2, 'seq': 2, 'model': 2}
+    # the default 2-axis mesh is unchanged (no stray seq axis)
+    assert dict(create_mesh().shape) == {'data': 8, 'model': 1}
+    with pytest.raises(ValueError, match='divisible'):
+        create_mesh(sequence_parallelism=3)
+
+
+def test_ring_block_train_step_matches_unsharded():
+    """A toy long-sequence model using RingSelfAttentionBlock must produce
+    the same loss AND parameter gradients as the plain SelfAttentionBlock
+    under a jitted train step on the (data=2, seq=4) mesh — ring attention
+    reachable from library config, not just kernel-level tests."""
+    from flax import linen as nn
+
+    from sav_tpu.nn import SelfAttentionBlock
+    from sav_tpu.parallel.mesh import create_mesh
+    from sav_tpu.parallel.ring_attention import RingSelfAttentionBlock
+
+    seq_mesh = create_mesh(sequence_parallelism=4)
+    B, L, C, H, classes = 2, 64, 32, 4, 8
+
+    def toy(make_attention):
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = nn.LayerNorm()(x)
+                y = make_attention(name='attn')(y, is_training=False)
+                x = x + y
+                return nn.Dense(classes)(x.mean(axis=1))
+        return Toy()
+
+    ring_model = toy(functools.partial(RingSelfAttentionBlock,
+                                       num_heads=H, mesh=seq_mesh))
+    base_model = toy(functools.partial(SelfAttentionBlock,
+                                       num_heads=H, use_kernel=False))
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, C))
+    labels = jax.nn.one_hot(jnp.arange(B) % classes, classes)
+    params = base_model.init(jax.random.PRNGKey(1), x)['params']
+    # identical trees: the ring block is a drop-in for SelfAttentionBlock
+    ring_params = ring_model.init(jax.random.PRNGKey(1), x)['params']
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(ring_params))
+
+    def loss_fn(model):
+        def loss(params, x):
+            logits = model.apply({'params': params}, x)
+            return jnp.mean(
+                jnp.sum((jax.nn.log_softmax(logits) - labels) ** 2, -1))
+        return jax.jit(jax.value_and_grad(loss))
+
+    ring_loss, ring_grads = loss_fn(ring_model)(params, x)
+    base_loss, base_grads = loss_fn(base_model)(params, x)
+
+    np.testing.assert_allclose(float(ring_loss), float(base_loss),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=1e-4, atol=1e-5),
+        ring_grads, base_grads)
