@@ -16,6 +16,16 @@ from sav_tpu.nn import (AddAbsPosEmbed, FFBlock, FixedPositionalEmbedding,
                         PatchEmbedBlock, SelfAttentionBlock)
 
 
+# use_kernel values that route the whole attention sublayer through ONE
+# custom_vjp boundary (ops.fused_layer) instead of per-op dispatch; the
+# value picks the core implementation inside the boundary.
+FUSED_LAYER_MODES = {
+    'fused_layer': 'flash',         # Pallas flash core, XLA projections
+    'fused_layer_xla': 'xla',       # everything XLA (boundary-cost probe)
+    'fused_layer_full': 'fused',    # one Pallas kernel for the whole span
+}
+
+
 class EncoderBlock(nn.Module):
     """Pre-LN transformer block: LN->MHA->residual, LN->MLP->residual."""
 
@@ -32,24 +42,54 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        x = nn.LayerNorm(dtype=self.dtype)(inputs)
-        x = SelfAttentionBlock(num_heads=self.num_heads,
-                               attn_dropout_rate=self.attn_dropout_rate,
-                               out_dropout_rate=self.dropout_rate,
-                               dtype=self.dtype,
-                               use_kernel=self.use_kernel,
-                               fused_qkv=self.fused_qkv,
-                               rotary=self.rotary)(
-                                   x, is_training=is_training)
-        x = x + inputs
+        fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
+        if fused_core is not None:
+            x = self._fused_attention_sublayer(inputs, fused_core)
+        else:
+            x = nn.LayerNorm(dtype=self.dtype)(inputs)
+            x = SelfAttentionBlock(num_heads=self.num_heads,
+                                   attn_dropout_rate=self.attn_dropout_rate,
+                                   out_dropout_rate=self.dropout_rate,
+                                   dtype=self.dtype,
+                                   use_kernel=self.use_kernel,
+                                   fused_qkv=self.fused_qkv,
+                                   rotary=self.rotary)(
+                                       x, is_training=is_training)
+            x = x + inputs
 
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        # explicit name: the fused branch consumes 'LayerNorm_0' via a
+        # param holder, which would otherwise collide with auto-numbering
+        y = nn.LayerNorm(dtype=self.dtype, name='LayerNorm_1')(x)
         y = FFBlock(expand_ratio=self.expand_ratio,
                     dropout_rate=self.dropout_rate,
                     activation_fn=self.activation_fn,
                     dtype=self.dtype,
                     quantized=self.quantized)(y, is_training=is_training)
         return x + y
+
+    def _fused_attention_sublayer(self, inputs, core: str):
+        """LN -> self-attention -> out-proj -> residual as ONE custom_vjp
+        span (ops.fused_layer); parameter tree identical to the standard
+        path, so the two are checkpoint-interchangeable."""
+        from sav_tpu.nn.attention import (AttentionSublayerParams,
+                                          LayerNormParams)
+        from sav_tpu.ops import fused_layer
+
+        assert self.attn_dropout_rate == 0.0 and self.dropout_rate == 0.0, \
+            'fused_layer path is dropout-free'
+        assert not self.rotary and not self.fused_qkv
+        dim = inputs.shape[-1]
+        scale, bias = LayerNormParams(dim, name='LayerNorm_0')()
+        wq, wk, wv, wo = AttentionSublayerParams(
+            in_ch=dim, num_heads=self.num_heads,
+            head_ch=dim // self.num_heads,
+            name='SelfAttentionBlock_0')()
+        if (core == 'fused' and not fused_layer.fused_supported(
+                inputs.shape[-2], self.num_heads, dim // self.num_heads)):
+            core = 'flash'
+        return fused_layer.attention_sublayer(
+            inputs.astype(self.dtype), scale, bias, wq, wk, wv, wo,
+            self.num_heads, core, fused_layer.LN_EPS)
 
 
 class ScanEncoderBlock(EncoderBlock):

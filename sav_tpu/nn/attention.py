@@ -71,6 +71,64 @@ class _ProjectionParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """LayerNorm parameters (scale, bias) without the computation — for
+    paths that fuse the normalization into a kernel (ops.fused_layer).
+    Named ``LayerNorm_N`` by the caller, the leaves match ``nn.LayerNorm``
+    checkpoints exactly."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('scale', nn.initializers.ones, (self.dim,)),
+                self.param('bias', nn.initializers.zeros, (self.dim,)))
+
+
+class _OutProjectionParams(nn.Module):
+    """The merged output-projection kernel of AttentionBlock's final
+    ``DenseGeneral(axis=(-2, -1))`` — parameters only, same init/fan
+    semantics (contracting axes (0, 1))."""
+
+    num_heads: int
+    head_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            'kernel',
+            nn.initializers.variance_scaling(1.0, 'fan_in',
+                                             'truncated_normal',
+                                             in_axis=(0, 1), out_axis=2),
+            (self.num_heads, self.head_ch, self.out_ch))
+
+
+class AttentionSublayerParams(nn.Module):
+    """SelfAttentionBlock's parameter tree (queries/keys/values/
+    DenseGeneral_0) returned raw, for the layer-fused sublayer path
+    (``sav_tpu.ops.fused_layer``). Named ``SelfAttentionBlock_N`` by the
+    caller, checkpoints trained on the standard path load unchanged."""
+
+    in_ch: int
+    num_heads: int
+    head_ch: int
+
+    @nn.compact
+    def __call__(self):
+        params = functools.partial(_ProjectionParams, in_ch=self.in_ch,
+                                   num_heads=self.num_heads,
+                                   head_ch=self.head_ch, use_bias=False)
+        wq, _ = params(name='queries')()
+        wk, _ = params(name='keys')()
+        wv, _ = params(name='values')()
+        wo = _OutProjectionParams(num_heads=self.num_heads,
+                                  head_ch=self.head_ch,
+                                  out_ch=self.in_ch,
+                                  name='DenseGeneral_0')()
+        return wq, wk, wv, wo
+
+
 class AttentionBlock(nn.Module):
     """Multi-head (cross-)attention with optional talking heads.
 

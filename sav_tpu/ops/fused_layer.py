@@ -1,0 +1,356 @@
+"""Attention sublayer under ONE custom_vjp boundary per layer.
+
+Every previous kernel experiment (flash @224, hybrid, fused-qkv, int8) lost
+end-to-end to the same ~2 ms/layer cost at the *per-op* custom_vjp
+boundary (docs/PERFORMANCE.md round-2). This module moves the boundary to
+the sublayer edge: the whole pre-LN attention sublayer of a ViT encoder
+block —
+
+    out = x + DenseGeneral_out(MHA(LayerNorm(x)))
+
+(reference span: models/vit.py:21-27 + models/layers/attentions/
+attention.py:29-63) — is one ``jax.custom_vjp`` whose forward and backward
+mix XLA ops and Pallas kernels *inside*, with no differentiation boundary
+between them. Residuals are flash-style for every core: ``(x, q, k, v,
+attn, lse)`` — the ``[B, H, L, L]`` probability tensor XLA's default
+backward keeps (89 MB at ViT-B @224 bs=192) is replaced by logsumexp rows,
+and probabilities are recomputed in the backward.
+
+Three cores, selected statically:
+  * ``'xla'``    — everything jnp. Isolates the pure boundary + residual-
+                   choice cost: the same ops XLA would run.
+  * ``'flash'``  — attention core via the Pallas flash kernels
+                   (``flash_attention._fwd``/``._bwd`` called directly, NOT
+                   through their own custom_vjp); projections/LN stay XLA,
+                   which round-2 probes measured at the machine ceiling
+                   (175 TF/s; LN/gelu absorbed free).
+  * ``'fused'``  — forward is one Pallas kernel spanning LN -> q/k/v
+                   projections -> attention core -> output projection ->
+                   residual add (one HBM read of x, one write of out, plus
+                   the q/k/v/attn/lse residual writes); backward as
+                   ``'flash'``. Requires single-block shapes
+                   (``fused_supported``).
+
+Weight-gradient GEMMs, LayerNorm backward, and the dy combination always
+stay XLA: they are plain ``[BL, D]``-shaped ops XLA already runs at full
+rate, and keeping them outside the kernels lets XLA fuse them freely
+inside the one-boundary backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sav_tpu.ops import flash_attention as fa
+
+CORES = ('xla', 'flash', 'fused')
+LN_EPS = 1e-6
+
+
+# ---------------------------------------------------------------- helpers
+
+def _layernorm(x, scale, bias, eps):
+    """Flax-compatible LayerNorm (fast variance, f32 stats).
+
+    Returns (y in x.dtype, xhat f32, inv f32); xhat/inv feed the backward.
+    """
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    y = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype), xhat, inv
+
+
+def _layernorm_bwd(dy, xhat, inv, scale):
+    """(dx, dscale, dbias) of LayerNorm from saved normalized stats."""
+    dyf = dy.astype(jnp.float32)
+    dscale = jnp.sum(dyf * xhat, axis=(0, 1))
+    dbias = jnp.sum(dyf, axis=(0, 1))
+    dxhat = dyf * scale.astype(jnp.float32)
+    dx = inv * (dxhat
+                - jnp.mean(dxhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    return dx, dscale, dbias
+
+
+def _project_qkv(y, wq, wk, wv, num_heads, head_d):
+    """q (pre-scaled), k, v as [B, L, H, d] from [D, H, d] kernels."""
+    b, l, dim = y.shape
+    hd = num_heads * head_d
+    cdt = y.dtype
+    sc = jnp.asarray(1.0 / jnp.sqrt(head_d), cdt)
+    qs = ((y @ wq.reshape(dim, hd).astype(cdt)) * sc)
+    k = y @ wk.reshape(dim, hd).astype(cdt)
+    v = y @ wv.reshape(dim, hd).astype(cdt)
+    reshape = lambda a: a.reshape(b, l, num_heads, head_d)
+    return reshape(qs), reshape(k), reshape(v)
+
+
+def _pack_pad(x4, pad_to):
+    """[B, L, H, d] -> packed [B, pad_to, H*d] (the flash kernel layout)."""
+    b, l, h, d = x4.shape
+    x = x4.reshape(b, l, h * d)
+    if pad_to != l:
+        x = jnp.pad(x, ((0, 0), (0, pad_to - l), (0, 0)))
+    return x
+
+
+def _xla_core(qs, k, v):
+    """XLA attention core on [B, L, H, d] (q pre-scaled) -> (attn, lse)."""
+    logits = jnp.einsum('bqhd,bkhd->bhqk', qs, k,
+                        preferred_element_type=jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)        # [B, H, L]
+    p = jnp.exp(logits - lse[..., None]).astype(v.dtype)
+    return jnp.einsum('bhqk,bkhd->bqhd', p, v), lse
+
+
+def fused_supported(l: int, num_heads: int, head_d: int) -> bool:
+    """'fused' needs single-block flash shapes (one q block, one kv block)
+    and 64-lane head bands; falls back to 'flash' otherwise."""
+    if head_d % fa.BAND or head_d > 256:
+        return False
+    block_q, block_k = fa._block_sizes(l, l, num_heads, head_d)
+    return (fa._round_up(l, block_q) == block_q
+            and fa._round_up(l, block_k) == block_k)
+
+
+# --------------------------------------------------- fused forward kernel
+
+def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
+                      wo_ref, out_ref, q_ref, k_ref, v_ref, attn_ref,
+                      lse_ref, *, l: int, heads: int, d: int, eps: float):
+    xf = x_ref[0].astype(jnp.float32)                    # [Lpad, D]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    xhat = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (xhat * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
+
+    sc = 1.0 / (d ** 0.5)
+    q = (fa._matmul(y, wq_ref[...]) * sc).astype(q_ref.dtype)
+    k = fa._matmul(y, wk_ref[...]).astype(k_ref.dtype)
+    v = fa._matmul(y, wv_ref[...]).astype(v_ref.dtype)
+    q_ref[0] = q
+    k_ref[0] = k
+    v_ref[0] = v
+
+    for h in range(heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = k[:, h * d:(h + 1) * d]
+        vh = v[:, h * d:(h + 1) * d]
+        # single-block fast path, same slicing discipline as
+        # flash_attention._fwd_kernel: logits sliced to the true length, so
+        # padding columns never reach the softmax or the PV matmul
+        s = fa._qk(qh, kh)[:, :l]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        lsum = jnp.sum(p, axis=1, keepdims=True)
+        attn_ref[0, :, h * d:(h + 1) * d] = (
+            fa._matmul(p.astype(vh.dtype), vh[:l]) / lsum
+        ).astype(attn_ref.dtype)
+        lse_ref[0, h] = jnp.broadcast_to(m + jnp.log(lsum),
+                                         lse_ref.shape[2:])
+
+    out = fa._matmul(attn_ref[0].astype(x_ref.dtype), wo_ref[...])
+    out_ref[0] = (xf + out).astype(out_ref.dtype)
+
+
+def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps):
+    """One-kernel forward. Returns (out, (qp, kp, vp, attn_p, lse))."""
+    b, l, dim = x.shape
+    hd = num_heads * head_d
+    cdt = x.dtype
+    block_q, _ = fa._block_sizes(l, l, num_heads, head_d)
+    # one shared padded length for q and kv; >= 64 so the flash backward's
+    # 64-lane kv block alignment always has a valid block
+    l_pad = max(fa._round_up(l, block_q), 64)
+    if l_pad != l:
+        x_p = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+    else:
+        x_p = x
+
+    row = lambda a: a.astype(jnp.float32).reshape(1, dim)
+    wq_f = wq.reshape(dim, hd).astype(cdt)
+    wk_f = wk.reshape(dim, hd).astype(cdt)
+    wv_f = wv.reshape(dim, hd).astype(cdt)
+    wo_f = wo.reshape(hd, dim).astype(cdt)
+
+    x_spec = pl.BlockSpec((1, l_pad, dim), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    hd_spec = pl.BlockSpec((1, l_pad, hd), lambda bi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, dim), lambda bi: (0, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((dim, hd), lambda bi: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_out_spec = pl.BlockSpec((hd, dim), lambda bi: (0, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, num_heads, l_pad, fa.STAT_LANES),
+                            lambda bi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out, qp, kp, vp, attn_p, lse = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, l=l, heads=num_heads,
+                          d=head_d, eps=eps),
+        grid=(b,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
+                  w_in_spec, w_out_spec],
+        out_specs=[x_spec, hd_spec, hd_spec, hd_spec, hd_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l_pad, dim), cdt),
+            jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
+            jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
+            jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
+            jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
+            jax.ShapeDtypeStruct((b, num_heads, l_pad, fa.STAT_LANES),
+                                 jnp.float32),
+        ],
+        interpret=fa._interpret(),
+    )(x_p, row(scale), row(bias), wq_f, wk_f, wv_f, wo_f)
+    return out[:, :l], (qp, kp, vp, attn_p, lse, l_pad, l_pad)
+
+
+# ------------------------------------------------------------- custom_vjp
+
+def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps):
+    b, l, dim = x.shape
+    head_d = wq.shape[2]
+    hd = num_heads * head_d
+    cdt = x.dtype
+
+    if core == 'fused':
+        out, residual_core = _fused_fwd(x, scale, bias, wq, wk, wv, wo,
+                                        num_heads, head_d, eps)
+        return out, residual_core
+
+    y, _, _ = _layernorm(x, scale, bias, eps)
+    qs, k, v = _project_qkv(y, wq, wk, wv, num_heads, head_d)
+
+    if core == 'xla':
+        attn, lse = _xla_core(qs, k, v)
+        residual_core = (qs, k, v, attn, lse)
+    elif core == 'flash':
+        block_q, block_k = fa._block_sizes(l, l, num_heads, head_d)
+        q_pad = fa._round_up(l, block_q)
+        kv_pad = fa._round_up(l, block_k)
+        qp = _pack_pad(qs, q_pad)
+        kp = _pack_pad(k, kv_pad)
+        vp = _pack_pad(v, kv_pad)
+        outp, lse = fa._fwd(qp, kp, vp, heads=num_heads, block_q=block_q,
+                            block_k=block_k, kv_len=l)
+        attn = outp[:, :l].reshape(b, l, num_heads, head_d)
+        residual_core = (qp, kp, vp, outp, lse, block_q, block_k)
+    else:
+        raise ValueError(f'core must be one of {CORES}, got {core!r}')
+
+    out = x + (attn.reshape(b, l, hd) @ wo.reshape(hd, dim).astype(cdt))
+    return out, residual_core
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def attention_sublayer(x, scale, bias, wq, wk, wv, wo, num_heads,
+                       core='flash', eps=LN_EPS):
+    """``x + W_o @ MHA(LN(x))`` with one custom_vjp for the whole span.
+
+    Args:
+      x: ``[B, L, D]`` activations.
+      scale, bias: LayerNorm parameters ``[D]``.
+      wq, wk, wv: projection kernels ``[D, H, d]`` (checkpoint layout).
+      wo: merged output kernel ``[H, d, D]``.
+      num_heads, core, eps: static; ``core`` in ``CORES``.
+    """
+    out, _ = _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps)
+    return out
+
+
+def _sublayer_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps):
+    out, residual_core = _forward(x, scale, bias, wq, wk, wv, wo,
+                                  num_heads, core, eps)
+    return out, (x, scale, bias, wq, wk, wv, wo, residual_core)
+
+
+def _sublayer_bwd(num_heads, core, eps, saved, g):
+    x, scale, bias, wq, wk, wv, wo, residual_core = saved
+    b, l, dim = x.shape
+    head_d = wq.shape[2]
+    hd = num_heads * head_d
+    cdt = x.dtype
+    sc = jnp.asarray(1.0 / jnp.sqrt(head_d), cdt)
+    wo_f = wo.reshape(hd, dim).astype(cdt)
+    g_c = g.astype(cdt)
+
+    if core == 'xla':
+        qs4, k4, v4, attn4, lse = residual_core
+        attn_f = attn4.reshape(b, l, hd)
+    else:
+        qp, kp, vp, outp, lse, block_q, block_k = residual_core
+        attn_f = outp[:, :l]
+
+    # output projection backward (XLA GEMMs)
+    d_attn = jnp.einsum('bld,cd->blc', g_c, wo_f)              # [B, L, HD]
+    dwo = jnp.einsum('blc,bld->cd', attn_f, g_c,
+                     preferred_element_type=jnp.float32)
+
+    if core == 'xla':
+        d_attn4 = d_attn.reshape(b, l, num_heads, head_d)
+        s = jnp.einsum('bqhd,bkhd->bhqk', qs4, k4,
+                       preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse[..., None])
+        delta = jnp.einsum('bqhd,bqhd->bhq', attn4.astype(jnp.float32),
+                           d_attn4.astype(jnp.float32))
+        dp = jnp.einsum('bqhd,bkhd->bhqk', d_attn4, v4,
+                        preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[..., None])).astype(cdt)
+        dq_f = (jnp.einsum('bhqk,bkhd->bqhd', ds, k4)
+                * sc).reshape(b, l, hd)
+        dk_f = jnp.einsum('bhqk,bqhd->bkhd', ds, qs4).reshape(b, l, hd)
+        dv_f = jnp.einsum('bhqk,bqhd->bkhd', p.astype(cdt),
+                          d_attn4).reshape(b, l, hd)
+    else:
+        q_pad = qp.shape[1]
+        do_p = d_attn
+        if q_pad != l:
+            do_p = jnp.pad(do_p, ((0, 0), (0, q_pad - l), (0, 0)))
+        dqs_p, dk_p, dv_p = fa._bwd(qp, kp, vp, outp, lse, do_p,
+                                    heads=num_heads, block_q=block_q,
+                                    block_k=block_k, kv_len=l)
+        dq_f = dqs_p[:, :l] * sc                 # undo the q pre-scaling
+        dk_f = dk_p[:, :l]
+        dv_f = dv_p[:, :l]
+
+    # projection weight grads + dy; y is recomputed from x — XLA fuses the
+    # LayerNorm into the GEMMs for free (round-2 probes, PERFORMANCE.md)
+    y, xhat, inv = _layernorm(x, scale, bias, eps)
+    dwq = jnp.einsum('bld,blc->dc', y, dq_f,
+                     preferred_element_type=jnp.float32)
+    dwk = jnp.einsum('bld,blc->dc', y, dk_f,
+                     preferred_element_type=jnp.float32)
+    dwv = jnp.einsum('bld,blc->dc', y, dv_f,
+                     preferred_element_type=jnp.float32)
+    dy = (jnp.einsum('blc,dc->bld', dq_f, wq.reshape(dim, hd).astype(cdt))
+          + jnp.einsum('blc,dc->bld', dk_f, wk.reshape(dim, hd).astype(cdt))
+          + jnp.einsum('blc,dc->bld', dv_f,
+                       wv.reshape(dim, hd).astype(cdt)))
+
+    dx_ln, dscale, dbias = _layernorm_bwd(dy, xhat, inv, scale)
+    dx = (dx_ln + g.astype(jnp.float32)).astype(cdt)
+
+    shape_w = (dim, num_heads, head_d)
+    return (dx,
+            dscale.astype(scale.dtype),
+            dbias.astype(bias.dtype),
+            dwq.reshape(shape_w).astype(wq.dtype),
+            dwk.reshape(shape_w).astype(wk.dtype),
+            dwv.reshape(shape_w).astype(wv.dtype),
+            dwo.reshape(num_heads, head_d, dim).astype(wo.dtype))
+
+
+attention_sublayer.defvjp(_sublayer_fwd, _sublayer_bwd)

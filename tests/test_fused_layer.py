@@ -1,0 +1,142 @@
+"""Layer-granularity fused attention sublayer: numerics and gradients.
+
+``ops.fused_layer.attention_sublayer`` puts the whole pre-LN attention
+sublayer (reference span: models/vit.py:21-27 + attention.py:29-63) behind
+one custom_vjp. These tests pin every core ('xla', 'flash' in interpret
+mode, 'fused' single-kernel) against a plain-autodiff jnp composition, and
+prove the ViT wiring (use_kernel='fused_layer*') is parameter-tree- and
+output-identical to the standard path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sav_tpu.ops import fused_layer
+
+B, L, D, H = 2, 19, 64, 4   # deliberately unaligned L (pads to 32)
+DH = D // H
+
+
+def _params(seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.1, jnp.float32)
+    return dict(x=mk(B, L, D), scale=1.0 + 0.1 * mk(D), bias=0.1 * mk(D),
+                wq=mk(D, H, DH), wk=mk(D, H, DH), wv=mk(D, H, DH),
+                wo=mk(H, DH, D))
+
+
+def _reference(x, scale, bias, wq, wk, wv, wo):
+    """Plain-autodiff composition of the same math."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mu * mu, 0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + fused_layer.LN_EPS)
+    y = y * scale + bias
+    q = jnp.einsum('bld,dhc->blhc', y, wq) / jnp.sqrt(DH)
+    k = jnp.einsum('bld,dhc->blhc', y, wk)
+    v = jnp.einsum('bld,dhc->blhc', y, wv)
+    p = jax.nn.softmax(jnp.einsum('bqhc,bkhc->bhqk', q, k))
+    attn = jnp.einsum('bhqk,bkhc->bqhc', p, v)
+    return x + jnp.einsum('bqhc,hcd->bqd', attn, wo)
+
+
+def _fused(core):
+    def f(x, scale, bias, wq, wk, wv, wo):
+        return fused_layer.attention_sublayer(x, scale, bias, wq, wk, wv,
+                                              wo, H, core,
+                                              fused_layer.LN_EPS)
+    return f
+
+
+@pytest.mark.parametrize('core', fused_layer.CORES)
+def test_forward_matches_reference(core):
+    p = _params()
+    out = _fused(core)(**p)
+    expected = _reference(**p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize('core', fused_layer.CORES)
+def test_gradients_match_reference(core):
+    p = _params()
+    args = [p[k] for k in ('x', 'scale', 'bias', 'wq', 'wk', 'wv', 'wo')]
+    cot = jnp.asarray(np.random.RandomState(1).randn(B, L, D), jnp.float32)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) * cot)
+
+    grads = jax.grad(loss(_fused(core)), argnums=tuple(range(7)))(*args)
+    expected = jax.grad(loss(_reference), argnums=tuple(range(7)))(*args)
+    for g, e, name in zip(grads, expected,
+                          ('x', 'scale', 'bias', 'wq', 'wk', 'wv', 'wo')):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(e), atol=5e-5, rtol=5e-4,
+            err_msg=f'{core}: grad mismatch for {name}')
+
+
+def test_fused_supported_predicate():
+    assert fused_layer.fused_supported(197, 12, 64)
+    assert not fused_layer.fused_supported(197, 12, 48)   # band-unaligned
+
+
+@pytest.mark.parametrize('mode', ['fused_layer', 'fused_layer_xla',
+                                  'fused_layer_full'])
+def test_vit_fused_layer_matches_default(mode):
+    """The ViT wiring: identical param tree AND identical outputs (same
+    params applied through both paths) — checkpoint interchangeability."""
+    from sav_tpu.models import ViT
+
+    default = ViT(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                  patch_shape=(16, 16), dtype=jnp.float32,
+                  use_kernel=False)
+    fused = ViT(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                patch_shape=(16, 16), dtype=jnp.float32, use_kernel=mode)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = default.init(jax.random.PRNGKey(0), x, is_training=False)
+    fused_variables = fused.init(jax.random.PRNGKey(0), x,
+                                 is_training=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(fused_variables))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(variables),
+            jax.tree_util.tree_leaves_with_path(fused_variables)):
+        assert a.shape == b.shape, jax.tree_util.keystr(pa)
+
+    out_default = default.apply(variables, x, is_training=False)
+    out_fused = fused.apply(variables, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_default),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_vit_fused_layer_trains():
+    """Grads flow through the fused path inside a real train step."""
+    from sav_tpu.data.synthetic import SyntheticDataset
+    from sav_tpu.models import ViT
+    from sav_tpu.parallel.mesh import create_mesh
+    from sav_tpu.train import steps as steps_lib
+    from sav_tpu.train.state import TrainState, build_optimizer
+
+    mesh = create_mesh()
+    model = ViT(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                patch_shape=(16, 16), dtype=jnp.float32,
+                use_kernel='fused_layer')
+    tx = build_optimizer(1e-3, weight_decay=1e-4, clip_grad=1.0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, 32, 32, 3)), is_training=False)
+    state = steps_lib.shard_state(mesh, TrainState.create(variables, tx))
+    data = SyntheticDataset(16, 32, num_classes=8, mesh=mesh)
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=8)
+    batch = data.batch(0)
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(metrics['loss']))
+    assert losses[-1] < losses[0]
