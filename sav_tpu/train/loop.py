@@ -68,6 +68,11 @@ class TrainConfig:
     pos_embed: str = 'learned'          # learned | fixed | rotary (ViT)
     scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
+    # chunks decoded ahead of the consuming dispatch (chained-host loop):
+    # depth 1 is classic next-chunk prefetch; deeper keeps the loader
+    # feeding the device ring while earlier dispatches drain, smoothing
+    # decode-time variance at the cost of depth x chunk host memory
+    prefetch_chunks: int = 2
     data_workers: int = 0               # Grain worker processes (0 = in-proc)
     log_every: int = 100
     eval_every_epochs: int = 5
@@ -384,11 +389,28 @@ class Trainer:
                      if hasattr(train_data, 'get_state') else None)
             return steps_lib.stack_batches(batches), state
 
+        from collections import deque
+
         last_metrics: Dict[str, float] = {}
         step = int(jax.device_get(self.state.step))
         executor = ThreadPoolExecutor(max_workers=1)
-        n = min(c.steps_per_dispatch, c.steps_total - step)
-        pending = executor.submit(fetch, step, n)
+        # ring of up to `prefetch_chunks` in-flight fetches: the single
+        # loader thread keeps decoding (and enqueueing H2D) for chunks
+        # k+1..k+depth while chunk k's dispatch drains on device, so a
+        # slow-decode chunk no longer stalls the device on arrival
+        pending = deque()
+        next_fetch = step
+
+        def submit_next():
+            nonlocal next_fetch
+            n = min(c.steps_per_dispatch, c.steps_total - next_fetch)
+            if n > 0:
+                # a shorter tail chunk just jit-specializes once more
+                pending.append((n, executor.submit(fetch, next_fetch, n)))
+                next_fetch += n
+
+        for _ in range(max(1, c.prefetch_chunks)):
+            submit_next()
         # checkpoint on the configured epoch cadence (plus a final save),
         # not every chunk — per-chunk async saves measured multi-second
         # stalls waiting on the previous write
@@ -396,18 +418,16 @@ class Trainer:
         last_saved = step
         last_data_state = None
         try:
-            while step < c.steps_total:
+            while step < c.steps_total and pending:
                 # wall time per chunk includes any wait on the prefetch
                 # thread, so images_per_sec stays an honest end-to-end rate
                 # even when the host loader is the bottleneck
                 start = time.perf_counter()
-                stacked, data_state = pending.result()
+                n, future = pending.popleft()
+                stacked, data_state = future.result()
                 if stacked is None:   # source exhausted
                     break
-                next_n = min(c.steps_per_dispatch, c.steps_total - (step + n))
-                if next_n > 0:
-                    # a shorter tail chunk just jit-specializes once more
-                    pending = executor.submit(fetch, step + n, next_n)
+                submit_next()
                 self.state, metrics = chained(self.state, self.step_rng,
                                               stacked)
                 metrics = jax.device_get(metrics)
@@ -421,7 +441,6 @@ class Trainer:
                 # did the consumed chunk cross a cadence boundary?
                 # (guarded: checkpoint_every_epochs=0 disables the cadence)
                 crossed = steps_per_ckpt > 0 and (step % steps_per_ckpt) < n
-                n = next_n
                 if self.checkpoints is not None and (
                         crossed or step >= c.steps_total):
                     self.checkpoints.save(step, self.state,

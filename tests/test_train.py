@@ -574,3 +574,27 @@ def test_checkpoint_restores_legacy_layout(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored.params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_prefetch_depth_is_loss_invariant(tmp_path):
+    """The chained-host prefetch ring (prefetch_chunks>1) must not change
+    the training stream: identical final loss at depth 1 and depth 3."""
+    from sav_tpu.data.grain_loader import write_npz_shards
+    from sav_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.RandomState(1)
+    images = rng.randint(0, 256, (48, IMG, IMG, 3), dtype=np.uint8)
+    labels = rng.randint(0, NUM_CLASSES, size=48)
+    shard_dir = os.fspath(tmp_path / 'shards')
+    write_npz_shards(images, labels, shard_dir, shard_size=16)
+
+    def run(depth):
+        config = TrainConfig(model_name='vit_ti_patch16', img_size=IMG,
+                             batch_size=8, total_steps=6, dtype='float32',
+                             num_classes=NUM_CLASSES, steps_per_dispatch=2,
+                             prefetch_chunks=depth, dataset=shard_dir,
+                             log_every=1, eval_every_epochs=10**6,
+                             checkpoint_every_epochs=10**6, eval_batches=1)
+        return Trainer(config).run()['loss']
+
+    assert run(1) == run(3)

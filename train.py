@@ -91,6 +91,9 @@ from sav_tpu.train import TrainConfig, Trainer
 @optgroup.option('--steps_per_dispatch', type=int, default=1,
                  help='chain N train steps per device dispatch (hides host '
                       'round-trip latency; >1 scans N steps in one jit)')
+@optgroup.option('--prefetch_chunks', type=int, default=2,
+                 help='chunks decoded ahead of the consuming dispatch '
+                      '(chained-host loop)')
 @optgroup.option('--images_per_epoch', type=click.IntRange(min=1),
                  default=None,
                  help='dataset size for epoch math (schedule warmup, eval '
@@ -113,7 +116,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
          checkpoint_dir, seed, dtype, model_parallelism, total_steps,
          scan_layers, remat, mu_dtype, ema_decay, schedule, pos_embed,
-         steps_per_dispatch, images_per_epoch, data_workers, eval_data_dir,
+         steps_per_dispatch, prefetch_chunks, images_per_epoch,
+         data_workers, eval_data_dir,
          holdout_fraction, eval_batches, use_wandb):
     config = TrainConfig(
         model_name=model_name,
@@ -138,6 +142,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         schedule=schedule,
         pos_embed=pos_embed,
         steps_per_dispatch=steps_per_dispatch,
+        prefetch_chunks=prefetch_chunks,
         data_workers=data_workers,
         eval_dataset=eval_data_dir,
         holdout_fraction=holdout_fraction,
