@@ -93,18 +93,53 @@ class EncoderBlock(nn.Module):
                           dtype=self.dtype)(inner_y, is_training=is_training)
         inner_output = inner_x + inner_y
 
-        outer_x = Inner2OuterBlock(dtype=self.dtype)(patch_inputs,
+        bridged = Inner2OuterBlock(dtype=self.dtype)(patch_inputs,
                                                      inner_output)
 
-        outer_x = nn.LayerNorm(dtype=self.dtype)(outer_x)
-        outer_x = SelfAttentionBlock(num_heads=self.outer_num_heads,
-                                     attn_dropout_rate=self.attn_dropout_rate,
-                                     out_dropout_rate=self.dropout_rate,
-                                     dtype=self.dtype,
-                                     use_kernel=self.use_kernel)(
-                                         outer_x, is_training=is_training)
-        outer_x = outer_x + patch_inputs
-        outer_y = nn.LayerNorm(dtype=self.dtype)(outer_x)
+        # outer attention sublayer: on TPU the whole LN->qkv->core->out-proj
+        # span runs under one custom_vjp boundary (ops.fused_layer,
+        # residual=False because TNT's skip adds the PRE-bridge patch
+        # embeddings, reference tnt.py:77-85); parameter tree unchanged
+        from sav_tpu.models.vit import FUSED_LAYER_MODES
+        fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
+        if (fused_core is None and self.use_kernel == 'auto'
+                and not self.attn_dropout_rate and not self.dropout_rate):
+            from sav_tpu.ops import fused_layer
+            fused_core = fused_layer.auto_core(
+                bridged.shape[-2], self.outer_num_heads,
+                bridged.shape[-1] // self.outer_num_heads)
+        if fused_core is not None:
+            from sav_tpu.nn.attention import (AttentionSublayerParams,
+                                              LayerNormParams)
+            from sav_tpu.ops import fused_layer
+            dim = bridged.shape[-1]
+            ln_scale, ln_bias = LayerNormParams(dim, name='LayerNorm_2')()
+            wq, wk, wv, wo = AttentionSublayerParams(
+                in_ch=dim, num_heads=self.outer_num_heads,
+                head_ch=dim // self.outer_num_heads,
+                name='SelfAttentionBlock_1')()
+            if (fused_core == 'fused' and not fused_layer.fused_supported(
+                    bridged.shape[-2], self.outer_num_heads,
+                    dim // self.outer_num_heads)):
+                fused_core = 'flash'
+            outer_x = patch_inputs + fused_layer.attention_sublayer(
+                bridged.astype(self.dtype), ln_scale, ln_bias,
+                wq, wk, wv, wo, self.outer_num_heads, fused_core,
+                fused_layer.LN_EPS, False)
+        else:
+            outer_x = nn.LayerNorm(dtype=self.dtype,
+                                   name='LayerNorm_2')(bridged)
+            outer_x = SelfAttentionBlock(
+                num_heads=self.outer_num_heads,
+                attn_dropout_rate=self.attn_dropout_rate,
+                out_dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                use_kernel=self.use_kernel,
+                name='SelfAttentionBlock_1')(
+                    outer_x, is_training=is_training)
+            outer_x = outer_x + patch_inputs
+        outer_y = nn.LayerNorm(dtype=self.dtype,
+                               name='LayerNorm_3')(outer_x)
         outer_y = FFBlock(expand_ratio=self.outer_expand_ratio,
                           dropout_rate=self.dropout_rate,
                           dtype=self.dtype)(outer_y, is_training=is_training)

@@ -40,9 +40,30 @@ class EncoderBlock(nn.Module):
     quantized: bool = False
     rotary: bool = False
 
+    def _auto_fused_core(self, inputs) -> Union[str, None]:
+        """Auto dispatch: route the attention sublayer through the
+        one-boundary fused path on TPU when eligible.
+
+        Measured end-to-end (ViT-B/16 @224 bs=192 bf16, v5e, round 3):
+        per-op auto dispatch 193.5 ms/step vs 160.9 ms with the fused
+        sublayer ('fused' core) and 166.0 ms with the 'flash' core — the
+        per-op custom_vjp boundary tax that sank every earlier kernel
+        integration disappears when the boundary sits at the layer edge.
+        Receipts: docs/PERFORMANCE.md round-3 section.
+        """
+        from sav_tpu.ops import fused_layer
+
+        if (self.attn_dropout_rate or self.dropout_rate or self.rotary
+                or self.fused_qkv):
+            return None
+        return fused_layer.auto_core(inputs.shape[-2], self.num_heads,
+                                     inputs.shape[-1] // self.num_heads)
+
     @nn.compact
     def __call__(self, inputs, is_training: bool):
         fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
+        if fused_core is None and self.use_kernel == 'auto':
+            fused_core = self._auto_fused_core(inputs)
         if fused_core is not None:
             x = self._fused_attention_sublayer(inputs, fused_core)
         else:

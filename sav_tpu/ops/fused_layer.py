@@ -126,7 +126,8 @@ def fused_supported(l: int, num_heads: int, head_d: int) -> bool:
 
 def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
                       wo_ref, out_ref, q_ref, k_ref, v_ref, attn_ref,
-                      lse_ref, *, l: int, heads: int, d: int, eps: float):
+                      lse_ref, *, l: int, heads: int, d: int, eps: float,
+                      residual: bool):
     xf = x_ref[0].astype(jnp.float32)                    # [Lpad, D]
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -160,10 +161,13 @@ def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
                                          lse_ref.shape[2:])
 
     out = fa._matmul(attn_ref[0].astype(x_ref.dtype), wo_ref[...])
-    out_ref[0] = (xf + out).astype(out_ref.dtype)
+    if residual:
+        out = xf + out
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps):
+def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
+               residual):
     """One-kernel forward. Returns (out, (qp, kp, vp, attn_p, lse))."""
     b, l, dim = x.shape
     hd = num_heads * head_d
@@ -199,7 +203,7 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps):
 
     out, qp, kp, vp, attn_p, lse = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, l=l, heads=num_heads,
-                          d=head_d, eps=eps),
+                          d=head_d, eps=eps, residual=residual),
         grid=(b,),
         in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
                   w_in_spec, w_out_spec],
@@ -220,7 +224,8 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps):
 
 # ------------------------------------------------------------- custom_vjp
 
-def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps):
+def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
+             residual):
     b, l, dim = x.shape
     head_d = wq.shape[2]
     hd = num_heads * head_d
@@ -228,7 +233,7 @@ def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps):
 
     if core == 'fused':
         out, residual_core = _fused_fwd(x, scale, bias, wq, wk, wv, wo,
-                                        num_heads, head_d, eps)
+                                        num_heads, head_d, eps, residual)
         return out, residual_core
 
     y, _, _ = _layernorm(x, scale, bias, eps)
@@ -251,13 +256,15 @@ def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps):
     else:
         raise ValueError(f'core must be one of {CORES}, got {core!r}')
 
-    out = x + (attn.reshape(b, l, hd) @ wo.reshape(hd, dim).astype(cdt))
+    out = attn.reshape(b, l, hd) @ wo.reshape(hd, dim).astype(cdt)
+    if residual:
+        out = x + out
     return out, residual_core
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def attention_sublayer(x, scale, bias, wq, wk, wv, wo, num_heads,
-                       core='flash', eps=LN_EPS):
+                       core='flash', eps=LN_EPS, residual=True):
     """``x + W_o @ MHA(LN(x))`` with one custom_vjp for the whole span.
 
     Args:
@@ -265,19 +272,25 @@ def attention_sublayer(x, scale, bias, wq, wk, wv, wo, num_heads,
       scale, bias: LayerNorm parameters ``[D]``.
       wq, wk, wv: projection kernels ``[D, H, d]`` (checkpoint layout).
       wo: merged output kernel ``[H, d, D]``.
-      num_heads, core, eps: static; ``core`` in ``CORES``.
+      num_heads, core, eps, residual: static; ``core`` in ``CORES``.
+        ``residual=False`` returns the sublayer output WITHOUT adding x —
+        for blocks whose skip connection bypasses the LN input (TNT's
+        outer transformer adds the pre-bridge patch embeddings,
+        reference tnt.py:77-85).
     """
-    out, _ = _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps)
+    out, _ = _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
+                      residual)
     return out
 
 
-def _sublayer_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps):
+def _sublayer_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
+                  residual):
     out, residual_core = _forward(x, scale, bias, wq, wk, wv, wo,
-                                  num_heads, core, eps)
+                                  num_heads, core, eps, residual)
     return out, (x, scale, bias, wq, wk, wv, wo, residual_core)
 
 
-def _sublayer_bwd(num_heads, core, eps, saved, g):
+def _sublayer_bwd(num_heads, core, eps, residual, saved, g):
     x, scale, bias, wq, wk, wv, wo, residual_core = saved
     b, l, dim = x.shape
     head_d = wq.shape[2]
@@ -341,7 +354,8 @@ def _sublayer_bwd(num_heads, core, eps, saved, g):
                        wv.reshape(dim, hd).astype(cdt)))
 
     dx_ln, dscale, dbias = _layernorm_bwd(dy, xhat, inv, scale)
-    dx = (dx_ln + g.astype(jnp.float32)).astype(cdt)
+    dx = (dx_ln + g.astype(jnp.float32)).astype(cdt) if residual \
+        else dx_ln.astype(cdt)
 
     shape_w = (dim, num_heads, head_d)
     return (dx,
@@ -354,3 +368,20 @@ def _sublayer_bwd(num_heads, core, eps, saved, g):
 
 
 attention_sublayer.defvjp(_sublayer_fwd, _sublayer_bwd)
+
+
+def auto_core(l: int, num_heads: int, head_ch: int):
+    """Auto-dispatch predicate: the fused-sublayer core to use on this
+    backend/shape, or None to stay on the per-op path.
+
+    Measured end-to-end (ViT-B/16 bf16, v5e, round 3): @224 bs=192 the
+    per-op path runs 193.5 ms/step vs 160.9 ms ('fused') / 166.0 ms
+    ('flash'); docs/PERFORMANCE.md has the ladder, including the
+    fused_layer_xla control showing the win comes from the Pallas cores
+    plus the single boundary, not the boundary alone.
+    """
+    if jax.default_backend() != 'tpu':
+        return None            # CPU interpret mode would be a slowdown
+    if l < 64 or head_ch % fa.BAND or head_ch > 256:
+        return None            # flash core's shape support envelope
+    return 'fused' if fused_supported(l, num_heads, head_ch) else 'flash'

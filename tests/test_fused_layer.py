@@ -140,3 +140,28 @@ def test_vit_fused_layer_trains():
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
         losses.append(float(metrics['loss']))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize('mode', ['fused_layer', 'fused_layer_xla'])
+def test_tnt_fused_outer_matches_default(mode):
+    """TNT's outer attention through the fused sublayer (residual=False,
+    the skip adds pre-bridge patch embeddings): identical tree + outputs."""
+    from sav_tpu.models import TNT
+
+    kwargs = dict(num_classes=8, num_layers=2, inner_num_heads=2,
+                  outer_num_heads=4, inner_embed_dim=16, outer_embed_dim=64,
+                  patch_shape=(16, 16), transformed_patch_shape=(4, 4),
+                  dtype=jnp.float32)
+    default = TNT(use_kernel=False, **kwargs)
+    fused = TNT(use_kernel=mode, **kwargs)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = default.init(jax.random.PRNGKey(0), x, is_training=False)
+    fused_variables = fused.init(jax.random.PRNGKey(0), x,
+                                 is_training=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(fused_variables))
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(variables, x, is_training=False)),
+        np.asarray(default.apply(variables, x, is_training=False)),
+        atol=5e-5, rtol=5e-5)
