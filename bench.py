@@ -43,6 +43,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# fresh Mosaic kernel compiles cost 5-10 min over the remote tunnel; the
+# persistent cache makes reruns (and the driver's run) start warm
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+
 MODEL_NAME = 'vit_b_patch16'
 IMG = 224
 SCAN_STEPS = 50

@@ -114,6 +114,21 @@ def multi_head_attention(
         if mode == 'hybrid':
             return flash_attention.mha_hybrid(query, key, value)
 
+    if (query.shape[-3] == 1 and bias is None
+            and pre_softmax_transform is None
+            and post_softmax_transform is None
+            and not (dropout_rate > 0.0 and dropout_rng is not None)):
+        # 1-query class attention (CaiT/CeiT heads, reference cait.py:10-15,
+        # ceit.py:11-16): squeeze the length-1 query axis so the epilogue is
+        # two [..., H, L]-shaped contractions around the softmax — measured
+        # 8.4% faster than the 4-D form at CaiT @224 shapes on v5e
+        # (benchmarks/cait_classattn_probe.py).
+        q = query[..., 0, :, :]
+        logits = jnp.einsum('...hd,...khd->...hk', q, key)
+        p = jax.nn.softmax(logits).astype(value.dtype)
+        out = jnp.einsum('...hk,...khd->...hd', p, value)
+        return out[..., None, :, :]
+
     weights = attention_weights(
         query, key,
         bias=bias,

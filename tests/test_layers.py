@@ -150,3 +150,35 @@ def test_fused_qkv_matches_unfused():
             b = fused.apply(variables, x, kv, is_training=False)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+def test_one_query_squeezed_path_matches_generic():
+    """The q_len==1 class-attention fast path (CaiT/CeiT heads) must equal
+    the generic 4-D attention math, values and gradients."""
+    import numpy as np
+    from sav_tpu.ops import attention as attention_ops
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 1, 4, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 9, 4, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 9, 4, 16), jnp.float32)
+
+    def generic(q, k, v):
+        scaled = q / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+        w = attention_ops.attention_weights(scaled, k)
+        return jnp.einsum('...hqk,...khd->...qhd', w, v)
+
+    def fast(q, k, v):
+        return attention_ops.multi_head_attention(q, k, v,
+                                                  use_kernel=False)
+
+    np.testing.assert_allclose(np.asarray(fast(q, k, v)),
+                               np.asarray(generic(q, k, v)),
+                               atol=1e-6, rtol=1e-6)
+    g_fast = jax.grad(lambda *a: jnp.sum(fast(*a) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_gen = jax.grad(lambda *a: jnp.sum(generic(*a) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fast, g_gen):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
