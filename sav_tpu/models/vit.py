@@ -25,6 +25,15 @@ FUSED_LAYER_MODES = {
     'fused_layer_full': 'fused',    # one Pallas kernel for the whole span
 }
 
+# use_kernel values that put the WHOLE encoder layer (attention + FF
+# sublayers) behind one custom_vjp (ops.fused_layer.encoder_layer):
+# half the boundaries of FUSED_LAYER_MODES, and the [B, L, 4D] pre-gelu
+# FF residual is recomputed instead of stored.
+FUSED_BLOCK_MODES = {
+    'fused_block': 'flash',
+    'fused_block_full': 'fused',
+}
+
 
 class EncoderBlock(nn.Module):
     """Pre-LN transformer block: LN->MHA->residual, LN->MLP->residual."""
@@ -61,6 +70,9 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
+        block_core = FUSED_BLOCK_MODES.get(self.use_kernel)
+        if block_core is not None:
+            return self._fused_encoder_layer(inputs, block_core)
         fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
         if fused_core is None and self.use_kernel == 'auto':
             fused_core = self._auto_fused_core(inputs)
@@ -111,6 +123,35 @@ class EncoderBlock(nn.Module):
         return fused_layer.attention_sublayer(
             inputs.astype(self.dtype), scale, bias, wq, wk, wv, wo,
             self.num_heads, core, fused_layer.LN_EPS)
+
+    def _fused_encoder_layer(self, inputs, core: str):
+        """The whole layer (attention + FF) as ONE custom_vjp span;
+        parameter tree identical to the standard path."""
+        from sav_tpu.nn.attention import (AttentionSublayerParams,
+                                          LayerNormParams)
+        from sav_tpu.nn.feedforward import FFParams
+        from sav_tpu.ops import fused_layer
+
+        assert self.attn_dropout_rate == 0.0 and self.dropout_rate == 0.0, \
+            'fused_block path is dropout-free'
+        assert not self.rotary and not self.fused_qkv and not self.quantized
+        assert self.activation_fn is nn.activation.gelu, \
+            'fused_block path is gelu-only'
+        dim = inputs.shape[-1]
+        s1, b1 = LayerNormParams(dim, name='LayerNorm_0')()
+        wq, wk, wv, wo = AttentionSublayerParams(
+            in_ch=dim, num_heads=self.num_heads,
+            head_ch=dim // self.num_heads,
+            name='SelfAttentionBlock_0')()
+        s2, b2 = LayerNormParams(dim, name='LayerNorm_1')()
+        hidden = max(1, int(self.expand_ratio * dim))
+        w1, bb1, w2, bb2 = FFParams(dim, hidden, name='FFBlock_0')()
+        if (core == 'fused' and not fused_layer.fused_supported(
+                inputs.shape[-2], self.num_heads, dim // self.num_heads)):
+            core = 'flash'
+        return fused_layer.encoder_layer(
+            inputs.astype(self.dtype), s1, b1, wq, wk, wv, wo, s2, b2,
+            w1, bb1, w2, bb2, self.num_heads, core, fused_layer.LN_EPS)
 
 
 class ScanEncoderBlock(EncoderBlock):

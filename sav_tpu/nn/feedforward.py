@@ -115,3 +115,34 @@ class LeFFBlock(nn.Module):
         x = self.activation_fn(x)
 
         return jnp.concatenate([cls_token, x], axis=1)
+
+
+class _DenseParams(nn.Module):
+    """``nn.Dense``-compatible (kernel, bias) leaves without the matmul."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel',
+                            nn.initializers.variance_scaling(
+                                1.0, 'fan_in', 'truncated_normal'),
+                            (self.in_ch, self.out_ch))
+        bias = self.param('bias', nn.initializers.zeros, (self.out_ch,))
+        return kernel, bias
+
+
+class FFParams(nn.Module):
+    """FFBlock's parameter tree (Dense_0/Dense_1) returned raw, for the
+    layer-fused encoder path (``sav_tpu.ops.fused_layer.encoder_layer``).
+    Named ``FFBlock_N`` by the caller, checkpoints load unchanged."""
+
+    in_ch: int
+    hidden_ch: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.in_ch, self.hidden_ch, name='Dense_0')()
+        w2, b2 = _DenseParams(self.hidden_ch, self.in_ch, name='Dense_1')()
+        return w1, b1, w2, b2

@@ -385,3 +385,80 @@ def auto_core(l: int, num_heads: int, head_ch: int):
     if l < 64 or head_ch % fa.BAND or head_ch > 256:
         return None            # flash core's shape support envelope
     return 'fused' if fused_supported(l, num_heads, head_ch) else 'flash'
+
+
+# ------------------------------------------- whole-encoder-layer custom_vjp
+
+def _ff_forward(a, scale2, bias2, w1, b1, w2, b2, eps):
+    """a + Dense_1(gelu(Dense_0(LN(a)))) in a.dtype (FFBlock semantics,
+    reference ff.py:8-34)."""
+    cdt = a.dtype
+    y2, _, _ = _layernorm(a, scale2, bias2, eps)
+    h = y2 @ w1.astype(cdt) + b1.astype(cdt)
+    f = jax.nn.gelu(h) @ w2.astype(cdt) + b2.astype(cdt)
+    return a + f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def encoder_layer(x, scale1, bias1, wq, wk, wv, wo, scale2, bias2, w1, b1,
+                  w2, b2, num_heads, core, eps):
+    """A full pre-LN encoder layer — attention sublayer + FF sublayer
+    (reference vit.py:19-32) — under ONE custom_vjp boundary.
+
+    Halves the boundary count of ``attention_sublayer`` (one per LAYER,
+    not per sublayer) and swaps XLA's FF residual policy for flash-style
+    recompute: the pre-gelu hidden activations ``[B, L, 4D]`` (232 MB at
+    ViT-B @224 bs=192) are NOT saved — the backward recomputes them from
+    the attention output with one extra GEMM. Attention core per ``core``
+    as in :func:`attention_sublayer`.
+    """
+    a, _ = _forward(x, scale1, bias1, wq, wk, wv, wo, num_heads, core, eps,
+                    True)
+    return _ff_forward(a, scale2, bias2, w1, b1, w2, b2, eps)
+
+
+def _encoder_fwd(x, scale1, bias1, wq, wk, wv, wo, scale2, bias2, w1, b1,
+                 w2, b2, num_heads, core, eps):
+    a, residual_core = _forward(x, scale1, bias1, wq, wk, wv, wo, num_heads,
+                                core, eps, True)
+    out = _ff_forward(a, scale2, bias2, w1, b1, w2, b2, eps)
+    return out, (x, scale1, bias1, wq, wk, wv, wo, residual_core, a,
+                 scale2, bias2, w1, b1, w2, b2)
+
+
+def _encoder_bwd(num_heads, core, eps, saved, g):
+    (x, scale1, bias1, wq, wk, wv, wo, residual_core, a, scale2, bias2,
+     w1, b1, w2, b2) = saved
+    cdt = a.dtype
+    g_c = g.astype(cdt)
+
+    # FF backward, hidden activations recomputed from a (one extra GEMM
+    # instead of a [B, L, 4D] residual)
+    y2, xhat2, inv2 = _layernorm(a, scale2, bias2, eps)
+    w1c, w2c = w1.astype(cdt), w2.astype(cdt)
+    h = y2 @ w1c + b1.astype(cdt)
+    gact, gelu_vjp = jax.vjp(jax.nn.gelu, h)
+    dgact = jnp.einsum('bld,hd->blh', g_c, w2c)
+    dw2 = jnp.einsum('blh,bld->hd', gact, g_c,
+                     preferred_element_type=jnp.float32)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+    dh = gelu_vjp(dgact)[0]
+    dw1 = jnp.einsum('bld,blh->dh', y2, dh,
+                     preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=(0, 1))
+    dy2 = jnp.einsum('blh,dh->bld', dh, w1c)
+    da_ln, dscale2, dbias2 = _layernorm_bwd(dy2, xhat2, inv2, scale2)
+    da = (da_ln + g.astype(jnp.float32)).astype(cdt)
+
+    att = _sublayer_bwd(num_heads, core, eps, True,
+                        (x, scale1, bias1, wq, wk, wv, wo, residual_core),
+                        da)
+    return att + (dscale2.astype(scale2.dtype),
+                  dbias2.astype(bias2.dtype),
+                  dw1.astype(w1.dtype),
+                  db1.astype(b1.dtype),
+                  dw2.astype(w2.dtype),
+                  db2.astype(b2.dtype))
+
+
+encoder_layer.defvjp(_encoder_fwd, _encoder_bwd)

@@ -165,3 +165,87 @@ def test_tnt_fused_outer_matches_default(mode):
         np.asarray(fused.apply(variables, x, is_training=False)),
         np.asarray(default.apply(variables, x, is_training=False)),
         atol=5e-5, rtol=5e-5)
+
+
+HID = 4 * D
+
+
+def _ff_params(seed=2):
+    rng = np.random.RandomState(seed)
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.1, jnp.float32)
+    return dict(scale2=1.0 + 0.1 * mk(D), bias2=0.1 * mk(D),
+                w1=mk(D, HID), b1=0.1 * mk(HID), w2=mk(HID, D),
+                b2=0.1 * mk(D))
+
+
+def _block_reference(x, scale, bias, wq, wk, wv, wo, scale2, bias2, w1, b1,
+                     w2, b2):
+    a = _reference(x, scale, bias, wq, wk, wv, wo)
+    af = a.astype(jnp.float32)
+    mu = jnp.mean(af, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(af * af, -1, keepdims=True) - mu * mu, 0.0)
+    y2 = (af - mu) * jax.lax.rsqrt(var + fused_layer.LN_EPS)
+    y2 = y2 * scale2 + bias2
+    return a + jax.nn.gelu(y2 @ w1 + b1) @ w2 + b2
+
+
+@pytest.mark.parametrize('core', fused_layer.CORES)
+def test_encoder_layer_matches_reference(core):
+    p = {**_params(), **_ff_params()}
+
+    def fused(**kw):
+        return fused_layer.encoder_layer(
+            kw['x'], kw['scale'], kw['bias'], kw['wq'], kw['wk'], kw['wv'],
+            kw['wo'], kw['scale2'], kw['bias2'], kw['w1'], kw['b1'],
+            kw['w2'], kw['b2'], H, core, fused_layer.LN_EPS)
+
+    np.testing.assert_allclose(np.asarray(fused(**p)),
+                               np.asarray(_block_reference(**p)),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize('core', ['xla', 'flash'])
+def test_encoder_layer_gradients_match_reference(core):
+    p = {**_params(), **_ff_params()}
+    names = ('x', 'scale', 'bias', 'wq', 'wk', 'wv', 'wo', 'scale2',
+             'bias2', 'w1', 'b1', 'w2', 'b2')
+    args = [p[k] for k in names]
+    cot = jnp.asarray(np.random.RandomState(3).randn(B, L, D), jnp.float32)
+
+    def fused(*a):
+        return fused_layer.encoder_layer(*a, H, core, fused_layer.LN_EPS)
+
+    def ref(*a):
+        return _block_reference(*a)
+
+    grads = jax.grad(lambda *a: jnp.sum(fused(*a) * cot),
+                     argnums=tuple(range(13)))(*args)
+    expected = jax.grad(lambda *a: jnp.sum(ref(*a) * cot),
+                        argnums=tuple(range(13)))(*args)
+    for g, e, name in zip(grads, expected, names):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(e), atol=1e-4, rtol=1e-3,
+            err_msg=f'{core}: encoder-layer grad mismatch for {name}')
+
+
+@pytest.mark.parametrize('mode', ['fused_block', 'fused_block_full'])
+def test_vit_fused_block_matches_default(mode):
+    """Whole-encoder-layer boundary: identical tree + outputs vs default."""
+    from sav_tpu.models import ViT
+
+    default = ViT(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                  patch_shape=(16, 16), dtype=jnp.float32,
+                  use_kernel=False)
+    fused = ViT(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                patch_shape=(16, 16), dtype=jnp.float32, use_kernel=mode)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = default.init(jax.random.PRNGKey(0), x, is_training=False)
+    fused_variables = fused.init(jax.random.PRNGKey(0), x,
+                                 is_training=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(fused_variables))
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(variables, x, is_training=False)),
+        np.asarray(default.apply(variables, x, is_training=False)),
+        atol=5e-5, rtol=5e-5)
