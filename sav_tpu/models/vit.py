@@ -62,8 +62,7 @@ class EncoderBlock(nn.Module):
         """
         from sav_tpu.ops import fused_layer
 
-        if (self.attn_dropout_rate or self.dropout_rate or self.rotary
-                or self.fused_qkv):
+        if self.attn_dropout_rate or self.dropout_rate or self.fused_qkv:
             return None
         return fused_layer.auto_core(inputs.shape[-2], self.num_heads,
                                      inputs.shape[-1] // self.num_heads)
@@ -110,7 +109,7 @@ class EncoderBlock(nn.Module):
 
         assert self.attn_dropout_rate == 0.0 and self.dropout_rate == 0.0, \
             'fused_layer path is dropout-free'
-        assert not self.rotary and not self.fused_qkv
+        assert not self.fused_qkv
         dim = inputs.shape[-1]
         scale, bias = LayerNormParams(dim, name='LayerNorm_0')()
         wq, wk, wv, wo = AttentionSublayerParams(
@@ -122,7 +121,7 @@ class EncoderBlock(nn.Module):
             core = 'flash'
         return fused_layer.attention_sublayer(
             inputs.astype(self.dtype), scale, bias, wq, wk, wv, wo,
-            self.num_heads, core, fused_layer.LN_EPS)
+            self.num_heads, core, fused_layer.LN_EPS, True, self.rotary)
 
     def _fused_encoder_layer(self, inputs, core: str):
         """The whole layer (attention + FF) as ONE custom_vjp span;

@@ -225,12 +225,14 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
 # ------------------------------------------------------------- custom_vjp
 
 def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
-             residual):
+             residual, rotary=False):
     b, l, dim = x.shape
     head_d = wq.shape[2]
     hd = num_heads * head_d
     cdt = x.dtype
 
+    if rotary and core == 'fused':
+        core = 'flash'          # rotation is not in the fused kernel (yet)
     if core == 'fused':
         out, residual_core = _fused_fwd(x, scale, bias, wq, wk, wv, wo,
                                         num_heads, head_d, eps, residual)
@@ -238,6 +240,12 @@ def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
 
     y, _, _ = _layernorm(x, scale, bias, eps)
     qs, k, v = _project_qkv(y, wq, wk, wv, num_heads, head_d)
+    if rotary:
+        # rotate q/k post-projection (nn/posembed.py, ViT pos_embed='rotary')
+        from sav_tpu.nn.posembed import apply_rotary_heads, sincos_frequencies
+        freqs = sincos_frequencies(l, head_d)
+        qs = apply_rotary_heads(qs, freqs)
+        k = apply_rotary_heads(k, freqs)
 
     if core == 'xla':
         attn, lse = _xla_core(qs, k, v)
@@ -262,9 +270,10 @@ def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
     return out, residual_core
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def attention_sublayer(x, scale, bias, wq, wk, wv, wo, num_heads,
-                       core='flash', eps=LN_EPS, residual=True):
+                       core='flash', eps=LN_EPS, residual=True,
+                       rotary=False):
     """``x + W_o @ MHA(LN(x))`` with one custom_vjp for the whole span.
 
     Args:
@@ -276,21 +285,25 @@ def attention_sublayer(x, scale, bias, wq, wk, wv, wo, num_heads,
         ``residual=False`` returns the sublayer output WITHOUT adding x —
         for blocks whose skip connection bypasses the LN input (TNT's
         outer transformer adds the pre-bridge patch embeddings,
-        reference tnt.py:77-85).
+        reference tnt.py:77-85). ``rotary=True`` rotates q/k after
+        projection (ViT ``pos_embed='rotary'``); the rotation also runs
+        inside the boundary.
     """
     out, _ = _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
-                      residual)
+                      residual, rotary)
     return out
 
 
 def _sublayer_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
-                  residual):
+                  residual, rotary):
     out, residual_core = _forward(x, scale, bias, wq, wk, wv, wo,
-                                  num_heads, core, eps, residual)
+                                  num_heads, core, eps, residual, rotary)
     return out, (x, scale, bias, wq, wk, wv, wo, residual_core)
 
 
-def _sublayer_bwd(num_heads, core, eps, residual, saved, g):
+def _sublayer_bwd(num_heads, core, eps, residual, rotary, saved, g):
+    if rotary and core == 'fused':
+        core = 'flash'          # mirrors the forward's downgrade
     x, scale, bias, wq, wk, wv, wo, residual_core = saved
     b, l, dim = x.shape
     head_d = wq.shape[2]
@@ -338,6 +351,16 @@ def _sublayer_bwd(num_heads, core, eps, residual, saved, g):
         dq_f = dqs_p[:, :l] * sc                 # undo the q pre-scaling
         dk_f = dk_p[:, :l]
         dv_f = dv_p[:, :l]
+
+    if rotary:
+        # q/k were rotated AFTER projection; the rotation is orthogonal, so
+        # the cotangent chains through the inverse rotation (negated table)
+        from sav_tpu.nn.posembed import apply_rotary_heads, sincos_frequencies
+        freqs = sincos_frequencies(l, head_d)
+        unrot = lambda a: apply_rotary_heads(
+            a.reshape(b, l, num_heads, head_d), -freqs).reshape(b, l, hd)
+        dq_f = unrot(dq_f)
+        dk_f = unrot(dk_f)
 
     # projection weight grads + dy; y is recomputed from x — XLA fuses the
     # LayerNorm into the GEMMs for free (round-2 probes, PERFORMANCE.md)
@@ -450,7 +473,7 @@ def _encoder_bwd(num_heads, core, eps, saved, g):
     da_ln, dscale2, dbias2 = _layernorm_bwd(dy2, xhat2, inv2, scale2)
     da = (da_ln + g.astype(jnp.float32)).astype(cdt)
 
-    att = _sublayer_bwd(num_heads, core, eps, True,
+    att = _sublayer_bwd(num_heads, core, eps, True, False,
                         (x, scale1, bias1, wq, wk, wv, wo, residual_core),
                         da)
     return att + (dscale2.astype(scale2.dtype),

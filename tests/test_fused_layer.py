@@ -249,3 +249,45 @@ def test_vit_fused_block_matches_default(mode):
         np.asarray(fused.apply(variables, x, is_training=False)),
         np.asarray(default.apply(variables, x, is_training=False)),
         atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize('core', ['xla', 'flash', 'fused'])
+def test_rotary_fused_sublayer_matches_rotary_default(core):
+    """pos_embed='rotary' composed with the fused sublayer: values and
+    loss gradients match the per-op rotary path ('fused' silently
+    downgrades to 'flash' — rotation is not in the single kernel)."""
+    from sav_tpu.models import ViT
+
+    mode = {'xla': 'fused_layer_xla', 'flash': 'fused_layer',
+            'fused': 'fused_layer_full'}[core]
+    mk = lambda uk: ViT(num_classes=8, num_layers=2, num_heads=4,
+                        embed_dim=64, patch_shape=(16, 16),
+                        dtype=jnp.float32, pos_embed='rotary',
+                        use_kernel=uk)
+    default, fused = mk(False), mk(mode)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = default.init(jax.random.PRNGKey(0), x, is_training=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(
+                fused.init(jax.random.PRNGKey(0), x, is_training=False)))
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(variables, x, is_training=False)),
+        np.asarray(default.apply(variables, x, is_training=False)),
+        atol=5e-5, rtol=5e-5)
+
+    labels = jax.nn.one_hot(jnp.array([1, 3]), 8)
+
+    def loss(model):
+        def f(params):
+            import optax
+            logits = model.apply({'params': params}, x, is_training=False)
+            return jnp.mean(optax.softmax_cross_entropy(logits, labels))
+        return f
+
+    g_def = jax.grad(loss(default))(variables['params'])
+    g_fused = jax.grad(loss(fused))(variables['params'])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4),
+        g_fused, g_def)
