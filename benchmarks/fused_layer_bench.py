@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
 
 MODES = ('default', 'xla_baseline', 'fused_layer_xla', 'fused_layer',
-         'fused_layer_full')
+         'fused_layer_full', 'fused_block', 'fused_block_full')
 
 
 def main():

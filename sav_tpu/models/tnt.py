@@ -100,14 +100,12 @@ class EncoderBlock(nn.Module):
         # span runs under one custom_vjp boundary (ops.fused_layer,
         # residual=False because TNT's skip adds the PRE-bridge patch
         # embeddings, reference tnt.py:77-85); parameter tree unchanged
+        # explicit opt-in only: auto-routing measured a consistent ~0.4%
+        # LOSS on TNT-S @224 (507.5 vs 509.8 img/s, two runs) — the outer
+        # attention is too small a share of TNT's step to pay for the
+        # boundary, unlike ViT (docs/PERFORMANCE.md round-3)
         from sav_tpu.models.vit import FUSED_LAYER_MODES
         fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
-        if (fused_core is None and self.use_kernel == 'auto'
-                and not self.attn_dropout_rate and not self.dropout_rate):
-            from sav_tpu.ops import fused_layer
-            fused_core = fused_layer.auto_core(
-                bridged.shape[-2], self.outer_num_heads,
-                bridged.shape[-1] // self.outer_num_heads)
         if fused_core is not None:
             from sav_tpu.nn.attention import (AttentionSublayerParams,
                                               LayerNormParams)
