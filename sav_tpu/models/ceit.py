@@ -40,11 +40,21 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        x = SelfAttentionBlock(num_heads=self.num_heads,
-                               dtype=self.dtype,
-                               use_kernel=self.use_kernel)(
-                                   inputs, is_training=is_training)
-        x = x + inputs
+        # One-boundary fused span for the POST-LN sublayer: x + W_o@MHA(x)
+        # (no LN inside — CeiT normalizes after the residual). Explicit
+        # 'fused_layer*' modes; auto routing is decided by measurement
+        # (docs/PERFORMANCE.md round-3 section).
+        from sav_tpu.models.vit import FUSED_LAYER_MODES
+
+        fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
+        if fused_core is not None:
+            x = self._fused_attention_sublayer(inputs, fused_core)
+        else:
+            x = SelfAttentionBlock(num_heads=self.num_heads,
+                                   dtype=self.dtype,
+                                   use_kernel=self.use_kernel)(
+                                       inputs, is_training=is_training)
+            x = x + inputs
         x = nn.LayerNorm(dtype=self.dtype)(x)
 
         y = LeFFBlock(expand_ratio=self.expand_ratio,
@@ -55,6 +65,26 @@ class EncoderBlock(nn.Module):
                       dtype=self.dtype)(x, is_training=is_training)
         y = x + y
         return nn.LayerNorm(dtype=self.dtype)(y)
+
+    def _fused_attention_sublayer(self, inputs, core: str):
+        """``x + W_o @ MHA(x)`` as ONE custom_vjp span
+        (ops.fused_layer.attention_sublayer_noln); parameter tree identical
+        to the standard path (SelfAttentionBlock_0), so the two are
+        checkpoint-interchangeable."""
+        from sav_tpu.nn.attention import AttentionSublayerParams
+        from sav_tpu.ops import fused_layer
+
+        dim = inputs.shape[-1]
+        wq, wk, wv, wo = AttentionSublayerParams(
+            in_ch=dim, num_heads=self.num_heads,
+            head_ch=dim // self.num_heads,
+            name='SelfAttentionBlock_0')()
+        if (core == 'fused' and not fused_layer.fused_supported(
+                inputs.shape[-2], self.num_heads, dim // self.num_heads)):
+            core = 'flash'
+        return fused_layer.attention_sublayer_noln(
+            inputs.astype(self.dtype), wq, wk, wv, wo, self.num_heads,
+            core, True)
 
 
 class ScanEncoderBlock(EncoderBlock):

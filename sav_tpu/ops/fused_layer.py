@@ -127,13 +127,16 @@ def fused_supported(l: int, num_heads: int, head_d: int) -> bool:
 def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
                       wo_ref, out_ref, q_ref, k_ref, v_ref, attn_ref,
                       lse_ref, *, l: int, heads: int, d: int, eps: float,
-                      residual: bool):
+                      residual: bool, pre_ln: bool = True):
     xf = x_ref[0].astype(jnp.float32)                    # [Lpad, D]
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
-    xhat = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = (xhat * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
+    if pre_ln:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+        xhat = (xf - mu) * jax.lax.rsqrt(var + eps)
+        y = (xhat * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
+    else:
+        y = x_ref[0]
 
     sc = 1.0 / (d ** 0.5)
     q = (fa._matmul(y, wq_ref[...]) * sc).astype(q_ref.dtype)
@@ -167,7 +170,7 @@ def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
 
 
 def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
-               residual):
+               residual, pre_ln=True):
     """One-kernel forward. Returns (out, (qp, kp, vp, attn_p, lse))."""
     b, l, dim = x.shape
     hd = num_heads * head_d
@@ -181,6 +184,9 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
     else:
         x_p = x
 
+    if not pre_ln:          # dummy [1, D] rows; the kernel never reads them
+        scale = jnp.ones((dim,), jnp.float32)
+        bias = jnp.zeros((dim,), jnp.float32)
     row = lambda a: a.astype(jnp.float32).reshape(1, dim)
     wq_f = wq.reshape(dim, hd).astype(cdt)
     wk_f = wk.reshape(dim, hd).astype(cdt)
@@ -203,7 +209,8 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
 
     out, qp, kp, vp, attn_p, lse = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, l=l, heads=num_heads,
-                          d=head_d, eps=eps, residual=residual),
+                          d=head_d, eps=eps, residual=residual,
+                          pre_ln=pre_ln),
         grid=(b,),
         in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
                   w_in_spec, w_out_spec],
@@ -225,7 +232,7 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
 # ------------------------------------------------------------- custom_vjp
 
 def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
-             residual, rotary=False):
+             residual, rotary=False, pre_ln=True):
     b, l, dim = x.shape
     head_d = wq.shape[2]
     hd = num_heads * head_d
@@ -235,10 +242,11 @@ def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
         core = 'flash'          # rotation is not in the fused kernel (yet)
     if core == 'fused':
         out, residual_core = _fused_fwd(x, scale, bias, wq, wk, wv, wo,
-                                        num_heads, head_d, eps, residual)
+                                        num_heads, head_d, eps, residual,
+                                        pre_ln)
         return out, residual_core
 
-    y, _, _ = _layernorm(x, scale, bias, eps)
+    y = x if not pre_ln else _layernorm(x, scale, bias, eps)[0]
     qs, k, v = _project_qkv(y, wq, wk, wv, num_heads, head_d)
     if rotary:
         # rotate q/k post-projection (nn/posembed.py, ViT pos_embed='rotary')
@@ -301,7 +309,8 @@ def _sublayer_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
     return out, (x, scale, bias, wq, wk, wv, wo, residual_core)
 
 
-def _sublayer_bwd(num_heads, core, eps, residual, rotary, saved, g):
+def _sublayer_bwd(num_heads, core, eps, residual, rotary, saved, g,
+                  pre_ln=True):
     if rotary and core == 'fused':
         core = 'flash'          # mirrors the forward's downgrade
     x, scale, bias, wq, wk, wv, wo, residual_core = saved
@@ -364,7 +373,10 @@ def _sublayer_bwd(num_heads, core, eps, residual, rotary, saved, g):
 
     # projection weight grads + dy; y is recomputed from x — XLA fuses the
     # LayerNorm into the GEMMs for free (round-2 probes, PERFORMANCE.md)
-    y, xhat, inv = _layernorm(x, scale, bias, eps)
+    if pre_ln:
+        y, xhat, inv = _layernorm(x, scale, bias, eps)
+    else:
+        y = x
     dwq = jnp.einsum('bld,blc->dc', y, dq_f,
                      preferred_element_type=jnp.float32)
     dwk = jnp.einsum('bld,blc->dc', y, dk_f,
@@ -376,21 +388,56 @@ def _sublayer_bwd(num_heads, core, eps, residual, rotary, saved, g):
           + jnp.einsum('blc,dc->bld', dv_f,
                        wv.reshape(dim, hd).astype(cdt)))
 
-    dx_ln, dscale, dbias = _layernorm_bwd(dy, xhat, inv, scale)
+    if pre_ln:
+        dx_ln, dscale, dbias = _layernorm_bwd(dy, xhat, inv, scale)
+    else:
+        dx_ln = dy.astype(jnp.float32)
     dx = (dx_ln + g.astype(jnp.float32)).astype(cdt) if residual \
         else dx_ln.astype(cdt)
 
     shape_w = (dim, num_heads, head_d)
-    return (dx,
-            dscale.astype(scale.dtype),
-            dbias.astype(bias.dtype),
-            dwq.reshape(shape_w).astype(wq.dtype),
-            dwk.reshape(shape_w).astype(wk.dtype),
-            dwv.reshape(shape_w).astype(wv.dtype),
-            dwo.reshape(num_heads, head_d, dim).astype(wo.dtype))
+    dws = (dwq.reshape(shape_w).astype(wq.dtype),
+           dwk.reshape(shape_w).astype(wk.dtype),
+           dwv.reshape(shape_w).astype(wv.dtype),
+           dwo.reshape(num_heads, head_d, dim).astype(wo.dtype))
+    if not pre_ln:
+        return (dx,) + dws
+    return (dx, dscale.astype(scale.dtype),
+            dbias.astype(bias.dtype)) + dws
 
 
 attention_sublayer.defvjp(_sublayer_fwd, _sublayer_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def attention_sublayer_noln(x, wq, wk, wv, wo, num_heads, core='flash',
+                            residual=True):
+    """``x + W_o @ MHA(x)`` — the POST-LN attention sublayer span (no
+    LayerNorm inside; the norm follows the residual outside the boundary),
+    under one custom_vjp. Serves CeiT's post-norm encoder blocks
+    (reference: models/ceit.py:19-44, where attention consumes the raw
+    block input). Same cores and residual policy as
+    :func:`attention_sublayer`.
+    """
+    out, _ = _forward(x, None, None, wq, wk, wv, wo, num_heads, core,
+                      LN_EPS, residual, pre_ln=False)
+    return out
+
+
+def _sublayer_noln_fwd(x, wq, wk, wv, wo, num_heads, core, residual):
+    out, residual_core = _forward(x, None, None, wq, wk, wv, wo, num_heads,
+                                  core, LN_EPS, residual, pre_ln=False)
+    return out, (x, wq, wk, wv, wo, residual_core)
+
+
+def _sublayer_noln_bwd(num_heads, core, residual, saved, g):
+    x, wq, wk, wv, wo, residual_core = saved
+    return _sublayer_bwd(num_heads, core, LN_EPS, residual, False,
+                         (x, None, None, wq, wk, wv, wo, residual_core),
+                         g, pre_ln=False)
+
+
+attention_sublayer_noln.defvjp(_sublayer_noln_fwd, _sublayer_noln_bwd)
 
 
 def auto_core(l: int, num_heads: int, head_ch: int):

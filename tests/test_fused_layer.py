@@ -251,6 +251,65 @@ def test_vit_fused_block_matches_default(mode):
         atol=5e-5, rtol=5e-5)
 
 
+def _reference_noln(x, wq, wk, wv, wo):
+    """Post-LN span: x + W_o @ MHA(x) — attention consumes the raw input."""
+    y = x.astype(jnp.float32)
+    q = jnp.einsum('bld,dhc->blhc', y, wq) / jnp.sqrt(DH)
+    k = jnp.einsum('bld,dhc->blhc', y, wk)
+    v = jnp.einsum('bld,dhc->blhc', y, wv)
+    p = jax.nn.softmax(jnp.einsum('bqhc,bkhc->bhqk', q, k))
+    attn = jnp.einsum('bhqk,bkhc->bqhc', p, v)
+    return x + jnp.einsum('bqhc,hcd->bqd', attn, wo)
+
+
+@pytest.mark.parametrize('core', fused_layer.CORES)
+def test_noln_forward_and_grads_match_reference(core):
+    """attention_sublayer_noln (CeiT's post-LN span) vs plain autodiff."""
+    p = _params()
+    names = ('x', 'wq', 'wk', 'wv', 'wo')
+    args = [p[k] for k in names]
+    cot = jnp.asarray(np.random.RandomState(4).randn(B, L, D), jnp.float32)
+
+    def fused(*a):
+        return fused_layer.attention_sublayer_noln(*a, H, core)
+
+    np.testing.assert_allclose(np.asarray(fused(*args)),
+                               np.asarray(_reference_noln(*args)),
+                               atol=2e-5, rtol=2e-5)
+    grads = jax.grad(lambda *a: jnp.sum(fused(*a) * cot),
+                     argnums=tuple(range(5)))(*args)
+    expected = jax.grad(lambda *a: jnp.sum(_reference_noln(*a) * cot),
+                        argnums=tuple(range(5)))(*args)
+    for g, e, name in zip(grads, expected, names):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(e), atol=5e-5, rtol=5e-4,
+            err_msg=f'{core}: noln grad mismatch for {name}')
+
+
+@pytest.mark.parametrize('mode', ['fused_layer', 'fused_layer_xla',
+                                  'fused_layer_full'])
+def test_ceit_fused_layer_matches_default(mode):
+    """CeiT wiring (post-LN encoder through attention_sublayer_noln):
+    identical param tree + outputs vs the standard path."""
+    from sav_tpu.models import CeiT
+
+    kwargs = dict(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                  patch_shape=(4, 4), dtype=jnp.float32)
+    default = CeiT(use_kernel=False, **kwargs)
+    fused = CeiT(use_kernel=mode, **kwargs)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = default.init(jax.random.PRNGKey(0), x, is_training=False)
+    fused_variables = fused.init(jax.random.PRNGKey(0), x,
+                                 is_training=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(fused_variables))
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(variables, x, is_training=False)),
+        np.asarray(default.apply(variables, x, is_training=False)),
+        atol=5e-5, rtol=5e-5)
+
+
 @pytest.mark.parametrize('core', ['xla', 'flash', 'fused'])
 def test_rotary_fused_sublayer_matches_rotary_default(core):
     """pos_embed='rotary' composed with the fused sublayer: values and
