@@ -20,11 +20,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 SEQ_AXIS = 'seq'
+PIPE_AXIS = 'pipe'
 
 
 def create_mesh(devices=None, model_parallelism: int = 1,
                 hybrid: bool = False,
-                sequence_parallelism: int = 1) -> Mesh:
+                sequence_parallelism: int = 1,
+                pipeline_parallelism: int = 1) -> Mesh:
     """Builds a ('data', 'model') mesh over the given (or all) devices.
 
     ``model_parallelism=1`` is pure data parallelism — the reference's only
@@ -35,6 +37,11 @@ def create_mesh(devices=None, model_parallelism: int = 1,
     model — the ring-attention axis (``parallel.ring_attention``): k/v
     shards rotate over neighboring devices, so it too wants ICI adjacency.
     The axis only exists when requested, keeping 2-axis meshes unchanged.
+
+    ``pipeline_parallelism>1`` inserts a ``pipe`` axis (outside seq/model,
+    inside data) — the GPipe stage axis (``parallel.pipeline``): encoder
+    layers are split into stages and activations hop stage-to-stage over
+    ``ppermute``, one neighbor per tick, so ICI adjacency matters here too.
 
     With ``hybrid=True`` on a multi-process (multi-slice) run, the data
     axis is laid out DCN-major via ``create_hybrid_device_mesh`` so the
@@ -65,19 +72,23 @@ def create_mesh(devices=None, model_parallelism: int = 1,
         return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
     devices = np.asarray(devices if devices is not None else jax.devices())
-    inner = model_parallelism * sequence_parallelism
+    inner = model_parallelism * sequence_parallelism * pipeline_parallelism
     if devices.size % inner:
         raise ValueError(
             f'{devices.size} devices not divisible by model_parallelism='
             f'{model_parallelism} * sequence_parallelism='
-            f'{sequence_parallelism}')
+            f'{sequence_parallelism} * pipeline_parallelism='
+            f'{pipeline_parallelism}')
+    # optional axes appear only when requested, keeping the common 2-axis
+    # ('data', 'model') layout — and every existing sharding rule — unchanged
+    axes = [(DATA_AXIS, devices.size // inner)]
+    if pipeline_parallelism > 1:
+        axes.append((PIPE_AXIS, pipeline_parallelism))
     if sequence_parallelism > 1:
-        grid = devices.reshape(devices.size // inner, sequence_parallelism,
-                               model_parallelism)
-        return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
-    grid = devices.reshape(devices.size // model_parallelism,
-                           model_parallelism)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        axes.append((SEQ_AXIS, sequence_parallelism))
+    axes.append((MODEL_AXIS, model_parallelism))
+    grid = devices.reshape(*(size for _, size in axes))
+    return Mesh(grid, tuple(name for name, _ in axes))
 
 
 _distributed_initialized = False

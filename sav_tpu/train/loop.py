@@ -60,6 +60,11 @@ class TrainConfig:
     images_per_epoch: int = IMAGENET_TRAIN_IMAGES
     total_steps: Optional[int] = None       # overrides epoch math if set
     model_parallelism: int = 1
+    # GPipe stages over the 'pipe' mesh axis (parallel.pipeline); needs
+    # scan_layers=True (the stacked layer axis IS the stage shard) and a
+    # dropout-free config. 1 = off.
+    pipeline_parallelism: int = 1
+    pipeline_microbatches: int = 4      # bubble = (S-1)/(M+S-1)
     # False | True/'full' | 'dots' | 'dots_no_batch' (steps.REMAT_POLICIES)
     remat: Union[bool, str] = False
     mu_dtype: Optional[str] = None      # e.g. 'bfloat16' first Adam moment
@@ -124,8 +129,12 @@ class Trainer:
     def __init__(self, config: TrainConfig, use_wandb: bool = False):
         self.config = config
         maybe_initialize_distributed()
+        if config.pipeline_parallelism > 1 and not config.scan_layers:
+            raise ValueError('pipeline_parallelism needs scan_layers=True '
+                             '(stage shards are the stacked layer axis)')
         self.mesh = create_mesh(
             model_parallelism=config.model_parallelism,
+            pipeline_parallelism=config.pipeline_parallelism,
             hybrid=jax.process_count() > 1)
         model_kwargs = {}
         if config.scan_layers:
@@ -171,14 +180,31 @@ class Trainer:
                 state = self.checkpoints.restore(state)
         self.state = state
 
-        self.train_step = steps_lib.make_train_step(
-            self.model, self.tx, self.mesh, state,
-            num_classes=config.num_classes,
-            label_smoothing=config.label_smoothing,
-            remat=config.remat, ema_decay=config.ema_decay)
-        self.eval_step = steps_lib.make_eval_step(
-            self.model, self.mesh, state, num_classes=config.num_classes,
-            use_ema=config.ema_decay is not None)
+        if config.pipeline_parallelism > 1:
+            if config.steps_per_dispatch > 1:
+                raise ValueError('pipeline_parallelism and '
+                                 'steps_per_dispatch>1 are exclusive')
+            self.train_step = steps_lib.make_pipeline_train_step(
+                self.model, self.tx, self.mesh, state,
+                num_classes=config.num_classes,
+                label_smoothing=config.label_smoothing,
+                num_microbatches=config.pipeline_microbatches,
+                ema_decay=config.ema_decay)
+            self.eval_step = steps_lib.make_pipeline_eval_step(
+                self.model, self.mesh, state,
+                num_classes=config.num_classes,
+                num_microbatches=config.pipeline_microbatches,
+                use_ema=config.ema_decay is not None)
+        else:
+            self.train_step = steps_lib.make_train_step(
+                self.model, self.tx, self.mesh, state,
+                num_classes=config.num_classes,
+                label_smoothing=config.label_smoothing,
+                remat=config.remat, ema_decay=config.ema_decay)
+            self.eval_step = steps_lib.make_eval_step(
+                self.model, self.mesh, state,
+                num_classes=config.num_classes,
+                use_ema=config.ema_decay is not None)
 
     def _dataset(self, seed_offset: int = 0,
                  training: bool = True) -> SyntheticDataset:

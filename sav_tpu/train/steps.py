@@ -126,20 +126,35 @@ def eval_step(state: TrainState, batch: Dict[str, jax.Array], *, model,
 
 
 def _tree_shardings(mesh: Mesh, tree):
-    """NamedShardings for any pytree, by tensor-parallel path rules."""
-    if mesh.shape[mesh_lib.MODEL_AXIS] == 1:
+    """NamedShardings for any pytree, by tensor/pipeline-parallel path rules.
+
+    Tensor-parallel specs follow ``mesh_lib.param_spec``; when the mesh has
+    a ``pipe`` axis, scan-stacked encoder-layer leaves (path contains
+    ``['EncoderBlock']``, leading axis = layer) are additionally sharded
+    over it — the stage shard the GPipe schedule consumes directly.
+    Optimizer moments mirror the same paths, so they distribute too.
+    """
+    sizes = dict(mesh.shape)
+    pipe = sizes.get(mesh_lib.PIPE_AXIS, 1)
+    if sizes[mesh_lib.MODEL_AXIS] == 1 and pipe == 1:
         return jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P()), tree)
 
     def one(path, leaf):
-        spec = mesh_lib.param_spec(jax.tree_util.keystr(path),
-                                   ndim=getattr(leaf, 'ndim', None))
-        sizes = dict(mesh.shape)
+        pathstr = jax.tree_util.keystr(path)
         shape = getattr(leaf, 'shape', ())
-        for dim, axis in enumerate(spec):
-            if axis is not None and (dim >= len(shape)
-                                     or shape[dim] % sizes[axis]):
-                return NamedSharding(mesh, P())
+        spec = P()
+        if sizes[mesh_lib.MODEL_AXIS] > 1:
+            spec = mesh_lib.param_spec(pathstr,
+                                       ndim=getattr(leaf, 'ndim', None))
+            for dim, axis in enumerate(spec):
+                if axis is not None and (dim >= len(shape)
+                                         or shape[dim] % sizes[axis]):
+                    spec = P()
+                    break
+        if (pipe > 1 and "['EncoderBlock']" in pathstr
+                and len(shape) >= 1 and shape[0] % pipe == 0):
+            spec = P(mesh_lib.PIPE_AXIS, *spec[1:])
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, tree)
@@ -231,6 +246,88 @@ def make_chained_train_step_over_batches(model, tx, mesh: Mesh,
                    in_shardings=(state_sh, repl, batch_sh),
                    out_shardings=(state_sh, repl),
                    donate_argnums=(0,) if donate else ())
+
+
+def make_pipeline_train_step(model, tx, mesh: Mesh, state: TrainState,
+                             num_classes: int = 1000,
+                             label_smoothing: float = 0.0,
+                             num_microbatches: int = 4,
+                             ema_decay=None, donate: bool = True):
+    """Train step with the encoder GPipe-pipelined over the ``pipe`` axis.
+
+    Same loss/optimizer math as :func:`train_step` (equality-tested against
+    the data-parallel step on the CPU mesh); the forward runs
+    ``parallel.pipeline.vit_pipeline_forward``, so stage params (and their
+    optimizer moments, via the same path rules) live only on their stage's
+    devices. The reference had no pipeline story at all (pmap-only,
+    reference train.py:94-96).
+    """
+    from sav_tpu.parallel.pipeline import vit_pipeline_forward
+
+    def step(state, batch, rng):
+        del rng  # pipeline path is dropout-free; nothing to fold in
+
+        def loss_fn(params):
+            images = batch['images'].astype(model.dtype)
+            logits = vit_pipeline_forward(
+                model, params, images, mesh=mesh,
+                num_microbatches=num_microbatches, is_training=True)
+            logits = logits.astype(jnp.float32)
+            targets = blended_targets(batch, num_classes, label_smoothing)
+            return jnp.mean(
+                optax.softmax_cross_entropy(logits, targets)), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        metrics = {'loss': loss}
+        acc = topk_correct(logits, batch['labels'], prefix='train_')
+        metrics.update(jax.tree_util.tree_map(jnp.mean, acc))
+        new_state = state.apply_gradients(tx, grads, None,
+                                          ema_decay=ema_decay)
+        return new_state, metrics
+
+    state_sh = _tree_shardings(mesh, state)
+    batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step,
+                   in_shardings=(state_sh, batch_sh, repl),
+                   out_shardings=(state_sh, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_pipeline_eval_step(model, mesh: Mesh, state: TrainState,
+                            num_classes: int = 1000,
+                            num_microbatches: int = 4,
+                            use_ema: bool = False):
+    """Mask-aware eval step running the pipelined forward."""
+    from sav_tpu.parallel.pipeline import vit_pipeline_forward
+
+    def step(state, batch):
+        params = state.params
+        if use_ema and state.ema_params is not None:
+            params = state.ema_params
+        images = batch['images'].astype(model.dtype)
+        logits = vit_pipeline_forward(
+            model, params, images, mesh=mesh,
+            num_microbatches=num_microbatches, is_training=False)
+        logits = logits.astype(jnp.float32)
+        y = jax.nn.one_hot(batch['labels'], num_classes)
+        per_example = optax.softmax_cross_entropy(logits, y)
+        mask = batch.get('mask')
+        if mask is None:
+            mask = jnp.ones(per_example.shape[0], jnp.float32)
+        acc = topk_correct(logits, batch['labels'], mask=mask,
+                           prefix='eval_')
+        sums = {'eval_loss': jnp.sum(per_example * mask),
+                'eval_count': jnp.sum(mask)}
+        sums.update({k: jnp.sum(v) for k, v in acc.items()})
+        return sums
+
+    state_sh = _tree_shardings(mesh, state)
+    batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step, in_shardings=(state_sh, batch_sh),
+                   out_shardings=repl)
 
 
 def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,

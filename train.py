@@ -65,6 +65,12 @@ from sav_tpu.train import TrainConfig, Trainer
                  help='model compute dtype')
 @optgroup.option('--model_parallelism', type=int, default=1,
                  help='tensor-parallel mesh axis size')
+@optgroup.option('--pipeline_parallelism', type=int, default=1,
+                 help='GPipe stage count over the pipe mesh axis '
+                      '(needs --scan_layers; dropout-free configs only)')
+@optgroup.option('--pipeline_microbatches', type=int, default=4,
+                 help='microbatches per pipelined step; bubble fraction '
+                      'is (stages-1)/(microbatches+stages-1)')
 @optgroup.option('--total_steps', type=int, default=None,
                  help='override total step count (smoke tests)')
 @optgroup.option('--scan_layers/--no-scan_layers', default=False,
@@ -114,7 +120,8 @@ from sav_tpu.train import TrainConfig, Trainer
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
-         checkpoint_dir, seed, dtype, model_parallelism, total_steps,
+         checkpoint_dir, seed, dtype, model_parallelism,
+         pipeline_parallelism, pipeline_microbatches, total_steps,
          scan_layers, remat, mu_dtype, ema_decay, schedule, pos_embed,
          steps_per_dispatch, prefetch_chunks, images_per_epoch,
          data_workers, eval_data_dir,
@@ -134,6 +141,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         dtype=dtype,
         dataset='synthetic' if data_dir == 'synthetic' else data_dir,
         model_parallelism=model_parallelism,
+        pipeline_parallelism=pipeline_parallelism,
+        pipeline_microbatches=pipeline_microbatches,
         total_steps=total_steps,
         scan_layers=scan_layers,
         remat=False if remat == 'none' else remat,
