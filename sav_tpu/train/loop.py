@@ -181,9 +181,6 @@ class Trainer:
         self.state = state
 
         if config.pipeline_parallelism > 1:
-            if config.steps_per_dispatch > 1:
-                raise ValueError('pipeline_parallelism and '
-                                 'steps_per_dispatch>1 are exclusive')
             self.train_step = steps_lib.make_pipeline_train_step(
                 self.model, self.tx, self.mesh, state,
                 num_classes=config.num_classes,
@@ -351,7 +348,9 @@ class Trainer:
             steps_per_call=c.steps_per_dispatch,
             num_classes=c.num_classes,
             label_smoothing=c.label_smoothing, remat=c.remat,
-            ema_decay=c.ema_decay)
+            ema_decay=c.ema_decay,
+            pipeline_microbatches=(c.pipeline_microbatches
+                                   if c.pipeline_parallelism > 1 else None))
 
         last_metrics: Dict[str, float] = {}
         step = int(jax.device_get(self.state.step))
@@ -397,7 +396,9 @@ class Trainer:
             self.model, self.tx, self.mesh, self.state,
             num_classes=c.num_classes,
             label_smoothing=c.label_smoothing, remat=c.remat,
-            ema_decay=c.ema_decay)
+            ema_decay=c.ema_decay,
+            pipeline_microbatches=(c.pipeline_microbatches
+                                   if c.pipeline_parallelism > 1 else None))
 
         def fetch(step, n):
             """Loads one chunk; returns (stacked, loader state afterwards).

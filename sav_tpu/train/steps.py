@@ -214,7 +214,8 @@ def make_chained_train_step_over_batches(model, tx, mesh: Mesh,
                                          label_smoothing: float = 0.0,
                                          remat: bool = False,
                                          ema_decay=None,
-                                         donate: bool = True):
+                                         donate: bool = True,
+                                         pipeline_microbatches=None):
     """N train steps per dispatch over HOST-provided batches.
 
     Complements :func:`make_chained_train_step` (device-generated batches):
@@ -226,11 +227,22 @@ def make_chained_train_step_over_batches(model, tx, mesh: Mesh,
     Returns a jitted ``fn(state, rng, stacked_batches) -> (state,
     last_metrics)`` where every ``stacked_batches`` leaf has leading shape
     ``[N, batch, ...]`` sharded over the data axis on dim 1.
+
+    With ``pipeline_microbatches`` set (and a ``pipe`` mesh axis), each
+    scanned step runs GPipe-pipelined — chained dispatch and pipeline
+    parallelism compose.
     """
-    step = functools.partial(train_step, model=model, tx=tx,
-                             num_classes=num_classes,
-                             label_smoothing=label_smoothing, remat=remat,
-                             ema_decay=ema_decay)
+    if pipeline_microbatches is not None:
+        step = functools.partial(pipeline_train_step, model=model, tx=tx,
+                                 mesh=mesh, num_classes=num_classes,
+                                 label_smoothing=label_smoothing,
+                                 num_microbatches=pipeline_microbatches,
+                                 ema_decay=ema_decay)
+    else:
+        step = functools.partial(train_step, model=model, tx=tx,
+                                 num_classes=num_classes,
+                                 label_smoothing=label_smoothing,
+                                 remat=remat, ema_decay=ema_decay)
 
     def chained(state, rng, batches):
         def body(carry, batch):
@@ -248,6 +260,35 @@ def make_chained_train_step_over_batches(model, tx, mesh: Mesh,
                    donate_argnums=(0,) if donate else ())
 
 
+def pipeline_train_step(state: TrainState, batch: Dict[str, jax.Array],
+                        rng: jax.Array, *, model, tx, mesh: Mesh,
+                        num_classes: int, label_smoothing: float,
+                        num_microbatches: int, ema_decay=None):
+    """One optimizer step with the encoder GPipe-pipelined (traceable body
+    shared by the jitted and host-chained builders)."""
+    from sav_tpu.parallel.pipeline import vit_pipeline_forward
+
+    del rng  # pipeline path is dropout-free; nothing to fold in
+
+    def loss_fn(params):
+        images = batch['images'].astype(model.dtype)
+        logits = vit_pipeline_forward(
+            model, params, images, mesh=mesh,
+            num_microbatches=num_microbatches, is_training=True)
+        logits = logits.astype(jnp.float32)
+        targets = blended_targets(batch, num_classes, label_smoothing)
+        return jnp.mean(
+            optax.softmax_cross_entropy(logits, targets)), logits
+
+    (loss, logits), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    metrics = {'loss': loss}
+    acc = topk_correct(logits, batch['labels'], prefix='train_')
+    metrics.update(jax.tree_util.tree_map(jnp.mean, acc))
+    new_state = state.apply_gradients(tx, grads, None, ema_decay=ema_decay)
+    return new_state, metrics
+
+
 def make_pipeline_train_step(model, tx, mesh: Mesh, state: TrainState,
                              num_classes: int = 1000,
                              label_smoothing: float = 0.0,
@@ -262,30 +303,11 @@ def make_pipeline_train_step(model, tx, mesh: Mesh, state: TrainState,
     devices. The reference had no pipeline story at all (pmap-only,
     reference train.py:94-96).
     """
-    from sav_tpu.parallel.pipeline import vit_pipeline_forward
-
-    def step(state, batch, rng):
-        del rng  # pipeline path is dropout-free; nothing to fold in
-
-        def loss_fn(params):
-            images = batch['images'].astype(model.dtype)
-            logits = vit_pipeline_forward(
-                model, params, images, mesh=mesh,
-                num_microbatches=num_microbatches, is_training=True)
-            logits = logits.astype(jnp.float32)
-            targets = blended_targets(batch, num_classes, label_smoothing)
-            return jnp.mean(
-                optax.softmax_cross_entropy(logits, targets)), logits
-
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        metrics = {'loss': loss}
-        acc = topk_correct(logits, batch['labels'], prefix='train_')
-        metrics.update(jax.tree_util.tree_map(jnp.mean, acc))
-        new_state = state.apply_gradients(tx, grads, None,
-                                          ema_decay=ema_decay)
-        return new_state, metrics
-
+    step = functools.partial(pipeline_train_step, model=model, tx=tx,
+                             mesh=mesh, num_classes=num_classes,
+                             label_smoothing=label_smoothing,
+                             num_microbatches=num_microbatches,
+                             ema_decay=ema_decay)
     state_sh = _tree_shardings(mesh, state)
     batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     repl = NamedSharding(mesh, P())
@@ -335,7 +357,7 @@ def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
                             num_classes: int = 1000,
                             label_smoothing: float = 0.0,
                             remat: bool = False, donate: bool = True,
-                            ema_decay=None):
+                            ema_decay=None, pipeline_microbatches=None):
     """N train steps per dispatch, batches generated on device.
 
     ``batch_fn(step_index)`` must be traceable (e.g.
@@ -345,11 +367,20 @@ def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
     per-step host loops leave throughput on the table.
 
     Returns a jitted ``fn(state, rng) -> (state, last_metrics)``.
+    With ``pipeline_microbatches`` set each scanned step runs
+    GPipe-pipelined over the mesh's ``pipe`` axis.
     """
-    step = functools.partial(train_step, model=model, tx=tx,
-                             num_classes=num_classes,
-                             label_smoothing=label_smoothing, remat=remat,
-                             ema_decay=ema_decay)
+    if pipeline_microbatches is not None:
+        step = functools.partial(pipeline_train_step, model=model, tx=tx,
+                                 mesh=mesh, num_classes=num_classes,
+                                 label_smoothing=label_smoothing,
+                                 num_microbatches=pipeline_microbatches,
+                                 ema_decay=ema_decay)
+    else:
+        step = functools.partial(train_step, model=model, tx=tx,
+                                 num_classes=num_classes,
+                                 label_smoothing=label_smoothing,
+                                 remat=remat, ema_decay=ema_decay)
 
     def chained(state, rng):
         def body(carry, _):

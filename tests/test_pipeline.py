@@ -173,6 +173,47 @@ def test_trainer_pipeline_end_to_end():
     assert metrics['loss'] > 0
 
 
+def test_chained_pipeline_matches_python_loop():
+    """steps_per_dispatch x pipeline_parallelism compose: one scanned
+    dispatch of pipelined steps equals the per-step python loop."""
+    model = tiny_vit()
+    tx = build_optimizer(1e-3)
+    mesh = create_mesh(pipeline_parallelism=4)
+    state = steps_lib.shard_state(mesh, init_state(model, tx))
+    rng = jax.random.PRNGKey(0)
+    batches = [batch_of(8, seed=i) for i in range(3)]
+
+    step_fn = steps_lib.make_pipeline_train_step(
+        model, tx, mesh, state, num_classes=NUM_CLASSES,
+        num_microbatches=2, donate=False)
+    s = state
+    for b in batches:
+        s, metrics = step_fn(s, b, rng)
+    loop_loss = float(metrics['loss'])
+
+    chained = steps_lib.make_chained_train_step_over_batches(
+        model, tx, mesh, state, num_classes=NUM_CLASSES, donate=False,
+        pipeline_microbatches=2)
+    s2, metrics2 = chained(state, rng, steps_lib.stack_batches(batches))
+    assert int(jax.device_get(s2.step)) == 3
+    np.testing.assert_allclose(float(metrics2['loss']), loop_loss,
+                               rtol=1e-5)
+
+
+def test_trainer_pipeline_chained_dispatch():
+    """Loop-level: pipeline parallelism + chained device dispatch."""
+    from sav_tpu.train import TrainConfig, Trainer
+    config = TrainConfig(model_name='vit_ti_patch16', img_size=32,
+                         batch_size=8, total_steps=4, dtype='float32',
+                         num_classes=NUM_CLASSES, scan_layers=True,
+                         pipeline_parallelism=4, pipeline_microbatches=2,
+                         steps_per_dispatch=2, log_every=1,
+                         eval_every_epochs=10**6,
+                         checkpoint_every_epochs=10**6, eval_batches=1)
+    metrics = Trainer(config).run()
+    assert np.isfinite(metrics['loss'])
+
+
 def test_trainer_pipeline_requires_scan_layers():
     from sav_tpu.train import TrainConfig, Trainer
     config = TrainConfig(model_name='vit_ti_patch16', img_size=32,
