@@ -7,7 +7,7 @@ Checkpoint-compatible with the reference
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 import jax.numpy as jnp
 from einops import rearrange
@@ -27,19 +27,35 @@ class FFBlock(nn.Module):
     """Transformer MLP: Dense -> activation -> dropout -> Dense -> dropout.
 
     ``quantized=True`` routes both matmuls through the experimental int8
-    forward path (parameter layout unchanged — 'Dense_0'/'Dense_1')."""
+    forward path (parameter layout unchanged — 'Dense_0'/'Dense_1');
+    ``quantized='ff'`` runs the whole sublayer (both GEMMs + gelu) as ONE
+    int8 Pallas kernel with the hidden activation kept in VMEM
+    (sav_tpu/ops/int8_ff.py) — requires gelu activation and zero dropout."""
 
     expand_ratio: Optional[float] = None
     hidden_ch: Optional[int] = None
     dropout_rate: float = 0.0
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
         in_ch = inputs.shape[-1]
         hidden_ch = _hidden_width(in_ch, self.expand_ratio, self.hidden_ch)
+        if self.quantized == 'ff':
+            from sav_tpu.ops.int8_ff import int8_ff
+            if self.dropout_rate:
+                raise ValueError(
+                    "quantized='ff' fuses the whole sublayer; dropout "
+                    'between the GEMMs is not representable')
+            if self.activation_fn is not nn.activation.gelu:
+                raise ValueError(
+                    "quantized='ff' hardcodes gelu between the GEMMs")
+            w1, b1 = _DenseParams(in_ch, hidden_ch, name='Dense_0')()
+            w2, b2 = _DenseParams(hidden_ch, in_ch, name='Dense_1')()
+            return int8_ff(inputs.astype(self.dtype), w1.astype(self.dtype),
+                           b1, w2.astype(self.dtype), b2)
         if self.quantized:
             from sav_tpu.nn.quantized_dense import QuantizedDense
 

@@ -1,0 +1,193 @@
+"""Whole-FF int8 forward — one Pallas kernel for x @ W1 -> gelu -> @ W2.
+
+Round-2's per-matmul int8 kernel (``int8_matmul_kernel.py``) lost end to
+end for three measured reasons (docs/PERFORMANCE.md): int8 touched only
+one GEMM at a time, the kernel boundary un-fused bias+gelu (extra full
+passes over the [M, 4D] hidden), and the simple schedule re-read A. This
+kernel removes all three at once for the FF sublayer: both GEMMs run int8
+back-to-back in ONE kernel, the hidden activation lives only in VMEM
+(never hits HBM), bias+gelu+requantize happen between the MXU issues, and
+A (the x row block) is read exactly once.
+
+Quantization scheme (symmetric int8, SwitchBack-flavored):
+  * activations: per-row scales over the full contraction axis, computed
+    in VMEM between DMA and MXU issue;
+  * weights: pre-quantized per output column OUTSIDE the kernel (static
+    per step, amortized by XLA);
+  * accumulation: int32 MXU, rescaled to f32 once per GEMM.
+
+The forward is exact w.r.t. the jnp twin (``int8_ff_reference``); training
+semantics are quantization-aware (QAT): the backward is a straight-through
+bf16 path that recomputes the hidden pre-activation from the stored x, so
+no [M, 4D] residual is stored either. Reference FF semantics:
+/root/reference/models/layers/ff_block.py (Dense -> gelu -> Dense).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sav_tpu.ops.int8_matmul_kernel import _quantize_tile
+from sav_tpu.ops.quantized import quantize_symmetric
+
+BLOCK_M = 256
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _ff_kernel(save_hpre, x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+               b2_ref, out_ref, *maybe_hpre):
+    hpre_ref = maybe_hpre[0] if save_hpre else None
+    xq, xs = _quantize_tile(x_ref[...])
+    h = jax.lax.dot_general(xq, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    hpre = h.astype(jnp.float32) * (xs * s1_ref[...]) + b1_ref[...]
+    if hpre_ref is not None:
+        # one bf16 store (~0.3 ms at ViT-B shapes) saves the backward's
+        # x @ W1 recompute GEMM (~1.1 ms) — measured, see PERFORMANCE.md
+        hpre_ref[...] = hpre.astype(hpre_ref.dtype)
+    h = jax.nn.gelu(hpre)
+    hq, hs = _quantize_tile(h)
+    y = jax.lax.dot_general(hq, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (hs * s2_ref[...]) + b2_ref[...]
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+def int8_ff_raw(x, w1_q, s1, b1, w2_q, s2, b2, *, block_m: int = BLOCK_M,
+                save_hpre: bool = False):
+    """gelu(x @ deq(w1) + b1) @ deq(w2) + b2, hidden kept in VMEM.
+
+    x [M, D] bf16/f32; w1_q [D, F] int8 with per-column scales s1 [1, F];
+    w2_q [F, D] int8 with s2 [1, D]. Returns [M, D] in x.dtype, or a
+    (out, hpre_bf16 [M, F]) pair when ``save_hpre`` (training mode — the
+    backward consumes the pre-activation instead of recomputing it).
+    """
+    m, d = x.shape
+    d2, f = w1_q.shape
+    assert d == d2 and w2_q.shape == (f, d)
+    assert s1.shape == (1, f) and s2.shape == (1, d)
+    mp = _round_up(m, block_m)
+    x_p = jnp.pad(x, ((0, mp - m), (0, 0)))
+
+    out_specs = [pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((mp, d), x.dtype)]
+    if save_hpre:
+        out_specs.append(pl.BlockSpec((block_m, f), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((mp, f), jnp.bfloat16))
+
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel, save_hpre),
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=_interpret(),
+    )(x_p, w1_q, s1, jnp.asarray(b1, jnp.float32).reshape(1, f),
+      w2_q, s2, jnp.asarray(b2, jnp.float32).reshape(1, d))
+    if save_hpre:
+        return out[0][:m], out[1][:m]
+    return out[0][:m]
+
+
+def int8_ff_reference(x, w1_q, s1, b1, w2_q, s2, b2,
+                      block_m: int = BLOCK_M):
+    """jnp twin of the kernel math (same tiling, scales, and dtypes)."""
+    m = x.shape[0]
+    mp = _round_up(m, block_m)
+    x_p = jnp.pad(x, ((0, mp - m), (0, 0)))
+    outs = []
+    for i in range(mp // block_m):
+        tile = x_p[i * block_m:(i + 1) * block_m]
+        xq, xs = _quantize_tile(tile)
+        h = jax.lax.dot_general(xq, w1_q, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        h = h.astype(jnp.float32) * (xs * s1) + b1.reshape(1, -1)
+        h = jax.nn.gelu(h)
+        hq, hs = _quantize_tile(h)
+        y = jax.lax.dot_general(hq, w2_q, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (hs * s2) + b2.reshape(1, -1)
+        outs.append(y.astype(x.dtype))
+    return jnp.concatenate(outs)[:m]
+
+
+def _quantized_weights(w1, w2):
+    w1_q, s1 = quantize_symmetric(w1.astype(jnp.float32), axis=0)
+    w2_q, s2 = quantize_symmetric(w2.astype(jnp.float32), axis=0)
+    return w1_q, s1, w2_q, s2
+
+
+@jax.custom_vjp
+def _int8_ff_core(x, w1, b1, w2, b2):
+    w1_q, s1, w2_q, s2 = _quantized_weights(w1, w2)
+    return int8_ff_raw(x, w1_q, s1, b1, w2_q, s2, b2)
+
+
+def _ff_fwd(x, w1, b1, w2, b2):
+    w1_q, s1, w2_q, s2 = _quantized_weights(w1, w2)
+    y, hpre = int8_ff_raw(x, w1_q, s1, b1, w2_q, s2, b2, save_hpre=True)
+    return y, (x, w1, b1, w2, b2, hpre)
+
+
+def _ff_bwd(residuals, g):
+    # straight-through QAT backward: bf16 gradients as if unquantized;
+    # the [M, F] pre-activation comes from the forward kernel (one bf16
+    # store) instead of an x @ W1 recompute GEMM
+    x, w1, b1, w2, b2, hpre = residuals
+    hpre = hpre.astype(jnp.float32)
+    h = jax.nn.gelu(hpre)
+    g32 = g.astype(jnp.float32)
+    dh = jax.lax.dot_general(g32, w2.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())))
+    _, dgelu = jax.vjp(jax.nn.gelu, hpre)
+    dhpre = dgelu(dh)[0]
+    dx = jax.lax.dot_general(dhpre, w1.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())))
+    dw1 = jax.lax.dot_general(x.astype(jnp.float32), dhpre,
+                              (((0,), (0,)), ((), ())))
+    db1 = jnp.sum(dhpre, axis=0)
+    dw2 = jax.lax.dot_general(h, g32, (((0,), (0,)), ((), ())))
+    db2 = jnp.sum(g32, axis=0)
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
+_int8_ff_core.defvjp(_ff_fwd, _ff_bwd)
+
+
+def int8_ff(x, w1, b1, w2, b2):
+    """Quantized FF sublayer body; x [..., D] -> [..., D]."""
+    flat = x.reshape(-1, x.shape[-1])
+    out = _int8_ff_core(flat, w1, b1, w2, b2)
+    return out.reshape(*x.shape[:-1], w2.shape[-1])

@@ -1,0 +1,113 @@
+"""Whole-FF int8 kernel: kernel/twin equality (interpret mode), QAT
+backward shape/finiteness, and closeness to the bf16 FF."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sav_tpu.ops import int8_ff
+from sav_tpu.ops.quantized import quantize_symmetric
+
+M, D, F = 70, 64, 256
+
+
+def _params(seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    x = jax.random.normal(ks[0], (M, D), jnp.float32)
+    w1 = jax.random.normal(ks[1], (D, F), jnp.float32) / np.sqrt(D)
+    b1 = jax.random.normal(ks[2], (F,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (F, D), jnp.float32) / np.sqrt(F)
+    b2 = jax.random.normal(ks[4], (D,), jnp.float32) * 0.1
+    return x, w1, b1, w2, b2
+
+
+def test_kernel_matches_jnp_twin():
+    x, w1, b1, w2, b2 = _params()
+    w1_q, s1 = quantize_symmetric(w1, axis=0)
+    w2_q, s2 = quantize_symmetric(w2, axis=0)
+    got = int8_ff.int8_ff_raw(x, w1_q, s1, b1, w2_q, s2, b2, block_m=32)
+    want = int8_ff.int8_ff_reference(x, w1_q, s1, b1, w2_q, s2, b2,
+                                     block_m=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_ff_close_to_bf16():
+    x, w1, b1, w2, b2 = _params()
+    got = int8_ff.int8_ff(x, w1, b1, w2, b2)
+    want = jax.nn.gelu(x @ w1 + b1) @ w2 + b2
+    err = np.asarray(got) - np.asarray(want)
+    rms = np.sqrt(np.mean(np.square(np.asarray(want))))
+    # two int8 GEMMs: per-element noise ~0.5% RMS; max over the tensor
+    # a few sigma higher
+    assert np.sqrt(np.mean(np.square(err))) / rms < 0.02
+    assert np.abs(err).max() / rms < 0.10, (np.abs(err).max(), rms)
+
+
+def test_qat_backward_matches_unquantized_grads():
+    """STE backward must equal the plain FF's gradients exactly."""
+    x, w1, b1, w2, b2 = _params()
+
+    def loss_q(args):
+        return jnp.sum(jnp.square(int8_ff.int8_ff(*args)))
+
+    def loss_ref(args):
+        x, w1, b1, w2, b2 = args
+        return jnp.sum(jnp.square(jax.nn.gelu(x @ w1 + b1) @ w2 + b2))
+
+    gq = jax.grad(loss_q)((x, w1, b1, w2, b2))
+    gr = jax.grad(loss_ref)((x, w1, b1, w2, b2))
+    # forward outputs differ by quantization noise, so the cotangent
+    # g = 2*y differs too; compare direction/scale loosely but shapes and
+    # finiteness exactly
+    for a, b in zip(gq, gr):
+        assert a.shape == b.shape
+        assert np.all(np.isfinite(np.asarray(a)))
+        cos = (np.vdot(np.asarray(a), np.asarray(b))
+               / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.98, cos
+
+
+def test_ffblock_ff_mode_tree_output_and_grads():
+    """FFBlock(quantized='ff'): identical param tree to the plain block,
+    close forward on shared params, and (sum-loss) grads matching the
+    plain block's at bf16-residual precision (the backward reads the
+    kernel's bf16 hpre store instead of recomputing in f32)."""
+    from sav_tpu.nn.feedforward import FFBlock
+    base = FFBlock(expand_ratio=4)
+    ff = FFBlock(expand_ratio=4, quantized='ff')
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, D), jnp.float32)
+    v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v2 = ff.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda t: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert paths(v) == paths(v2)
+
+    a = np.asarray(base.apply(v, x, is_training=False))
+    b = np.asarray(ff.apply(v, x, is_training=False))
+    rms = np.sqrt(np.mean(np.square(a)))
+    assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.02
+
+    gq = jax.grad(lambda v: jnp.sum(ff.apply(v, x, is_training=False)))(v)
+    gr = jax.grad(lambda v: jnp.sum(base.apply(v, x, is_training=False)))(v)
+    for pa, pb in zip(jax.tree_util.tree_leaves(gq),
+                      jax.tree_util.tree_leaves(gr)):
+        a, b = np.asarray(pa, np.float64), np.asarray(pb, np.float64)
+        denom = np.abs(b).max() + 1e-12
+        assert np.abs(a - b).max() / denom < 0.02, np.abs(a - b).max()
+
+
+def test_ffblock_ff_mode_rejects_dropout():
+    from sav_tpu.nn.feedforward import FFBlock
+    import pytest
+    ff = FFBlock(expand_ratio=4, dropout_rate=0.1, quantized='ff')
+    x = jnp.ones((1, 4, D))
+    with pytest.raises(ValueError):
+        ff.init(jax.random.PRNGKey(0), x, is_training=False)
+
+
+def test_batched_shape_roundtrip():
+    x, w1, b1, w2, b2 = _params()
+    x3 = x.reshape(2, 35, D)
+    out = int8_ff.int8_ff(x3, w1, b1, w2, b2)
+    assert out.shape == (2, 35, D)
