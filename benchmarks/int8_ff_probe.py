@@ -135,5 +135,68 @@ def main(m=M, d=D, f=F):
               flush=True)
 
 
+def sublayer(m=M, d=D, f=F):
+    """Region-level: the full LN->FF->residual sublayer span, XLA bf16 vs
+    the one-boundary int8 kernel (as integrated in ViT EncoderBlock)."""
+    from sav_tpu.ops.fused_layer import _layernorm
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    b = 192
+    x = jax.random.normal(ks[0], (b, m // b, d), jnp.bfloat16)
+    params = {
+        'scale': jnp.ones((d,), jnp.float32),
+        'bias': jnp.zeros((d,), jnp.float32),
+        'w1': jax.random.normal(ks[1], (d, f), jnp.float32) / f ** 0.5,
+        'b1': jnp.zeros((f,), jnp.float32),
+        'w2': jax.random.normal(ks[2], (f, d), jnp.float32) / f ** 0.5,
+        'b2': jnp.zeros((d,), jnp.float32),
+    }
+    gflop = 3 * 2 * (2 * m * d * f) / 1e9
+
+    def xla_span(p, x):
+        y2, _, _ = _layernorm(x, p['scale'], p['bias'], 1e-6)
+        h = y2 @ p['w1'].astype(x.dtype) + p['b1'].astype(x.dtype)
+        return x + jax.nn.gelu(h) @ p['w2'].astype(x.dtype) \
+            + p['b2'].astype(x.dtype)
+
+    def int8_span(p, x):
+        return int8_ff.int8_ff_sublayer(x, p['scale'], p['bias'],
+                                        p['w1'], p['b1'], p['w2'], p['b2'])
+
+    for name, fn in (('xla span', xla_span), ('int8 span', int8_span)):
+        # forward only
+        ms = _time(lambda x, p: fn(p, x).astype(x.dtype), x, params)
+        print(f'fwd  {name:<15}{ms:8.3f} ms', flush=True)
+        # fwd + bwd
+        loss = lambda p, x: jnp.sum(jnp.square(
+            fn(p, x).astype(jnp.float32)))
+        grad_fn = jax.grad(loss, argnums=(0, 1))
+
+        @jax.jit
+        def run(p, x):
+            def body(carry, _):
+                p, x = carry
+                gp, gx = grad_fn(p, x)
+                p = jax.tree_util.tree_map(
+                    lambda a, g: a - 1e-6 * g.astype(a.dtype), p, gp)
+                return (p, x - 1e-6 * gx.astype(x.dtype)), ()
+            (p, x), _ = jax.lax.scan(body, (p, x), None, length=STEPS)
+            return p
+
+        out = run(params, x)
+        float(jnp.sum(out['w1']).astype(jnp.float32))
+        best = float('inf')
+        for _ in range(3):
+            start = time.perf_counter()
+            out = run(params, x)
+            float(jnp.sum(out['w1']).astype(jnp.float32))
+            best = min(best, (time.perf_counter() - start) / STEPS)
+        ms = best * 1e3
+        print(f'grad {name:<15}{ms:8.3f} ms  {gflop/ms:7.1f} TF/s',
+              flush=True)
+
+
 if __name__ == '__main__':
-    main(*[int(a) for a in sys.argv[1:]])
+    if sys.argv[1:2] == ['sublayer']:
+        sublayer(*[int(a) for a in sys.argv[2:]])
+    else:
+        main(*[int(a) for a in sys.argv[1:]])

@@ -89,6 +89,23 @@ class EncoderBlock(nn.Module):
                                        x, is_training=is_training)
             x = x + inputs
 
+        if (self.quantized == 'ff' and not self.dropout_rate
+                and self.activation_fn is nn.activation.gelu):
+            # one custom_vjp for LN -> int8 FF -> residual: the bare
+            # int8 kernel under its own boundary measured a LOSS end to
+            # end (LN_1 un-fused from W1); the sublayer span wins — see
+            # sav_tpu/ops/int8_ff.py integration receipt
+            from sav_tpu.nn.attention import LayerNormParams
+            from sav_tpu.nn.feedforward import FFParams
+            from sav_tpu.ops import fused_layer, int8_ff
+            dim = x.shape[-1]
+            s2, b2 = LayerNormParams(dim, name='LayerNorm_1')()
+            hidden = max(1, int(self.expand_ratio * dim))
+            w1, bb1, w2, bb2 = FFParams(dim, hidden, name='FFBlock_0')()
+            return int8_ff.int8_ff_sublayer(
+                x.astype(self.dtype), s2, b2, w1, bb1, w2, bb2,
+                fused_layer.LN_EPS)
+
         # explicit name: the fused branch consumes 'LayerNorm_0' via a
         # param holder, which would otherwise collide with auto-numbering
         y = nn.LayerNorm(dtype=self.dtype, name='LayerNorm_1')(x)

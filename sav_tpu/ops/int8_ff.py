@@ -191,3 +191,157 @@ def int8_ff(x, w1, b1, w2, b2):
     flat = x.reshape(-1, x.shape[-1])
     out = _int8_ff_core(flat, w1, b1, w2, b2)
     return out.reshape(*x.shape[:-1], w2.shape[-1])
+
+
+# --------------------------------------- LN + FF + residual, one boundary
+#
+# Integration receipt (ViT-B/16 @224 bs=192, v5e): the bare int8_ff under
+# its own custom_vjp LOSES end to end (169.5 vs 160.9 ms/step) even
+# though the isolated FF wins by 8% — the boundary un-fuses LayerNorm_1
+# from W1 (XLA absorbs LN into the following matmul for free, see
+# docs/PERFORMANCE.md round-2 fusion probes). This span moves the
+# boundary to the sublayer edge, the shape that measured boundary-free
+# for attention (ops/fused_layer.py): LN runs INSIDE the kernel between
+# DMA and quantization, and the residual add rides the output store.
+
+
+def _ff_ln_kernel(save_hpre, eps, x_ref, scale_ref, bias_ref, w1_ref,
+                  s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, out_ref,
+                  *maybe_hpre):
+    hpre_ref = maybe_hpre[0] if save_hpre else None
+    a = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(a, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(a * a, axis=1, keepdims=True) - mu * mu,
+                      0.0)
+    y2 = ((a - mu) * jax.lax.rsqrt(var + eps)) * scale_ref[...] \
+        + bias_ref[...]
+    xq, xs = _quantize_tile(y2)
+    h = jax.lax.dot_general(xq, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    hpre = h.astype(jnp.float32) * (xs * s1_ref[...]) + b1_ref[...]
+    if hpre_ref is not None:
+        hpre_ref[...] = hpre.astype(hpre_ref.dtype)
+    hq, hs = _quantize_tile(jax.nn.gelu(hpre))
+    f = jax.lax.dot_general(hq, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    f = f.astype(jnp.float32) * (hs * s2_ref[...]) + b2_ref[...]
+    out_ref[...] = (a + f).astype(out_ref.dtype)
+
+
+def int8_ff_ln_raw(x, scale, bias, w1_q, s1, b1, w2_q, s2, b2, *,
+                   eps: float = 1e-6, block_m: int = BLOCK_M,
+                   save_hpre: bool = False):
+    """x + gelu(LN(x) @ deq(w1) + b1) @ deq(w2) + b2 in one kernel."""
+    m, d = x.shape
+    f = w1_q.shape[1]
+    mp = _round_up(m, block_m)
+    x_p = jnp.pad(x, ((0, mp - m), (0, 0)))
+
+    row = lambda i: (i, 0)
+    fixed = lambda i: (0, 0)
+    out_specs = [pl.BlockSpec((block_m, d), row, memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((mp, d), x.dtype)]
+    if save_hpre:
+        out_specs.append(pl.BlockSpec((block_m, f), row,
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((mp, f), jnp.bfloat16))
+
+    out = pl.pallas_call(
+        functools.partial(_ff_ln_kernel, save_hpre, eps),
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=_interpret(),
+    )(x_p, jnp.asarray(scale, jnp.float32).reshape(1, d),
+      jnp.asarray(bias, jnp.float32).reshape(1, d), w1_q, s1,
+      jnp.asarray(b1, jnp.float32).reshape(1, f), w2_q, s2,
+      jnp.asarray(b2, jnp.float32).reshape(1, d))
+    if save_hpre:
+        return out[0][:m], out[1][:m]
+    return out[0][:m]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def int8_ff_sublayer(x, scale, bias, w1, b1, w2, b2, eps=1e-6):
+    """``x + FF_int8(LN(x))`` with ONE custom_vjp for the whole span.
+
+    x is [B, L, D]; parameter layout matches LayerNorm + FFBlock
+    (reference vit.py:26-31), so it is checkpoint-interchangeable with
+    the unfused path. Backward is straight-through bf16 QAT consuming the
+    kernel's stored pre-activation (no recompute GEMM).
+    """
+    w1_q, s1, w2_q, s2 = _quantized_weights(w1, w2)
+    flat = x.reshape(-1, x.shape[-1])
+    out = int8_ff_ln_raw(flat, scale, bias, w1_q, s1, b1, w2_q, s2, b2,
+                         eps=eps)
+    return out.reshape(x.shape)
+
+
+def _sublayer_fwd(x, scale, bias, w1, b1, w2, b2, eps):
+    w1_q, s1, w2_q, s2 = _quantized_weights(w1, w2)
+    flat = x.reshape(-1, x.shape[-1])
+    out, hpre = int8_ff_ln_raw(flat, scale, bias, w1_q, s1, b1, w2_q, s2,
+                               b2, eps=eps, save_hpre=True)
+    return out.reshape(x.shape), (x, scale, bias, w1, b1, w2, b2, hpre)
+
+
+def _layernorm_bwd_flat(dy, xhat, inv, scale):
+    """(dx, dscale, dbias) of LayerNorm on flat [M, D] arrays."""
+    dyf = dy.astype(jnp.float32)
+    dscale = jnp.sum(dyf * xhat, axis=0)
+    dbias = jnp.sum(dyf, axis=0)
+    dxhat = dyf * scale.astype(jnp.float32)
+    dx = inv * (dxhat
+                - jnp.mean(dxhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    return dx, dscale, dbias
+
+
+def _sublayer_bwd(eps, saved, g):
+    from sav_tpu.ops.fused_layer import _layernorm
+
+    x, scale, bias, w1, b1, w2, b2, hpre = saved
+    cdt = x.dtype
+    shape3 = x.shape
+    xf = x.reshape(-1, shape3[-1])
+    gf = g.reshape(-1, shape3[-1]).astype(cdt)
+    # LN stats recomputed from x (bandwidth-cheap); hidden pre-activation
+    # comes from the forward kernel's bf16 store. Flat [M, ...]
+    # dot_generals mirror the bare-kernel QAT backward that measured
+    # 5.1 ms at ViT-B shapes; [M, 4D] elementwise stays in the compute
+    # dtype (an f32 variant kept ~1.9 GB live and OOM'd the chip).
+    y2, xhat, inv = _layernorm(xf, scale, bias, eps)
+    hpre = hpre.astype(cdt)
+    gact, gelu_vjp = jax.vjp(jax.nn.gelu, hpre)
+    w1c, w2c = w1.astype(cdt), w2.astype(cdt)
+    dgact = jax.lax.dot_general(gf, w2c, (((1,), (1,)), ((), ())))
+    dw2 = jax.lax.dot_general(gact, gf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(gf, axis=0, dtype=jnp.float32)
+    dh = gelu_vjp(dgact)[0]
+    dw1 = jax.lax.dot_general(y2, dh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh, axis=0, dtype=jnp.float32)
+    dy2 = jax.lax.dot_general(dh, w1c, (((1,), (1,)), ((), ())))
+    dx_ln, dscale, dbias = _layernorm_bwd_flat(dy2, xhat, inv, scale)
+    dx = (dx_ln + gf.astype(jnp.float32)).astype(cdt)
+    return (dx.reshape(shape3), dscale.astype(scale.dtype),
+            dbias.astype(bias.dtype), dw1.astype(w1.dtype),
+            db1.astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.astype(b2.dtype))
+
+
+int8_ff_sublayer.defvjp(_sublayer_fwd, _sublayer_bwd)

@@ -71,6 +71,9 @@ class TrainConfig:
     ema_decay: Optional[float] = None   # params EMA; eval uses the average
     schedule: str = 'cosine'            # 'cosine' | 'wsd'
     pos_embed: str = 'learned'          # learned | fixed | rotary (ViT)
+    # int8 QAT modes (ViT): False | 'int8' (per-matmul forward) | 'ff'
+    # (whole-FF Pallas kernel, measured faster than bf16 — int8_ff.py)
+    quantized: Union[bool, str] = False
     scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
     # chunks decoded ahead of the consuming dispatch (chained-host loop):
@@ -141,6 +144,8 @@ class Trainer:
             model_kwargs['scan_layers'] = True
         if config.pos_embed != 'learned':
             model_kwargs['pos_embed'] = config.pos_embed
+        if config.quantized:
+            model_kwargs['quantized'] = config.quantized
         self.model = create_model(config.model_name,
                                   num_classes=config.num_classes,
                                   dtype=jnp.dtype(config.dtype),

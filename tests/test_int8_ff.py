@@ -106,6 +106,60 @@ def test_ffblock_ff_mode_rejects_dropout():
         ff.init(jax.random.PRNGKey(0), x, is_training=False)
 
 
+def test_ln_sublayer_close_to_unfused_and_grads():
+    """int8_ff_sublayer == x + FF(LN(x)) at int8 precision; grads match
+    the unquantized span at bf16-residual tolerance."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    x = jax.random.normal(ks[0], (2, 35, D), jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    bias = 0.1 * jax.random.normal(ks[2], (D,))
+    w1 = jax.random.normal(ks[3], (D, F), jnp.float32) / np.sqrt(D)
+    b1 = 0.1 * jax.random.normal(ks[4], (F,))
+    w2 = jax.random.normal(ks[5], (F, D), jnp.float32) / np.sqrt(F)
+    b2 = jnp.zeros((D,))
+
+    def unfused(x, scale, bias, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mu * mu, 0.0)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+        return x + jax.nn.gelu(y @ w1 + b1) @ w2 + b2
+
+    args = (x, scale, bias, w1, b1, w2, b2)
+    got = np.asarray(int8_ff.int8_ff_sublayer(*args))
+    want = np.asarray(unfused(*args))
+    rms = np.sqrt(np.mean(np.square(want)))
+    assert np.sqrt(np.mean(np.square(got - want))) / rms < 0.02
+
+    gq = jax.grad(lambda *a: jnp.sum(jnp.square(
+        int8_ff.int8_ff_sublayer(*a))), argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.square(unfused(*a))),
+                  argnums=tuple(range(7)))(*args)
+    for a, b in zip(gq, gr):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        cos = np.vdot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)
+                               + 1e-12)
+        assert cos > 0.98, cos
+
+
+def test_encoder_block_ff_mode_param_tree():
+    """ViT EncoderBlock(quantized='ff') keeps the standard param tree
+    (checkpoint-interchangeable) and produces close outputs."""
+    from sav_tpu.models.vit import EncoderBlock
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64), jnp.float32)
+    base = EncoderBlock(num_heads=4, use_kernel=False)
+    quant = EncoderBlock(num_heads=4, use_kernel=False, quantized='ff')
+    v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v2 = quant.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda t: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert paths(v) == paths(v2)
+    a = np.asarray(base.apply(v, x, is_training=False))
+    b = np.asarray(quant.apply(v, x, is_training=False))
+    rms = np.sqrt(np.mean(np.square(a)))
+    assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.02
+
+
 def test_batched_shape_roundtrip():
     x, w1, b1, w2, b2 = _params()
     x3 = x.reshape(2, 35, D)

@@ -94,6 +94,11 @@ from sav_tpu.train import TrainConfig, Trainer
                  default='learned',
                  help='ViT position embedding: learned absolute (reference '
                       'default), fixed sinusoidal, or rotary on q/k')
+@optgroup.option('--quantized',
+                 type=click.Choice(['none', 'int8', 'ff']),
+                 default='none',
+                 help="int8 QAT: 'int8' = per-matmul forward, 'ff' = "
+                      'whole-FF Pallas kernel (faster than bf16 on v5e)')
 @optgroup.option('--steps_per_dispatch', type=int, default=1,
                  help='chain N train steps per device dispatch (hides host '
                       'round-trip latency; >1 scans N steps in one jit)')
@@ -123,7 +128,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          checkpoint_dir, seed, dtype, model_parallelism,
          pipeline_parallelism, pipeline_microbatches, total_steps,
          scan_layers, remat, mu_dtype, ema_decay, schedule, pos_embed,
-         steps_per_dispatch, prefetch_chunks, images_per_epoch,
+         quantized, steps_per_dispatch, prefetch_chunks, images_per_epoch,
          data_workers, eval_data_dir,
          holdout_fraction, eval_batches, use_wandb):
     config = TrainConfig(
@@ -150,6 +155,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         ema_decay=ema_decay,
         schedule=schedule,
         pos_embed=pos_embed,
+        quantized=False if quantized == 'none' else (
+            True if quantized == 'int8' else quantized),
         steps_per_dispatch=steps_per_dispatch,
         prefetch_chunks=prefetch_chunks,
         data_workers=data_workers,
