@@ -74,6 +74,9 @@ class TrainConfig:
     # int8 QAT modes (ViT): False | 'int8' (per-matmul forward) | 'ff'
     # (whole-FF Pallas kernel, measured faster than bf16 — int8_ff.py)
     quantized: Union[bool, str] = False
+    # >1 accumulates gradients over that many microbatches per optimizer
+    # step (1/N activation memory at the same effective batch)
+    grad_accum: int = 1
     scan_layers: bool = False           # nn.scan over encoder depth
     steps_per_dispatch: int = 1         # chain N steps per device dispatch
     # chunks decoded ahead of the consuming dispatch (chained-host loop):
@@ -202,7 +205,8 @@ class Trainer:
                 self.model, self.tx, self.mesh, state,
                 num_classes=config.num_classes,
                 label_smoothing=config.label_smoothing,
-                remat=config.remat, ema_decay=config.ema_decay)
+                remat=config.remat, ema_decay=config.ema_decay,
+                grad_accum=config.grad_accum)
             self.eval_step = steps_lib.make_eval_step(
                 self.model, self.mesh, state,
                 num_classes=config.num_classes,
@@ -353,7 +357,7 @@ class Trainer:
             steps_per_call=c.steps_per_dispatch,
             num_classes=c.num_classes,
             label_smoothing=c.label_smoothing, remat=c.remat,
-            ema_decay=c.ema_decay,
+            ema_decay=c.ema_decay, grad_accum=c.grad_accum,
             pipeline_microbatches=(c.pipeline_microbatches
                                    if c.pipeline_parallelism > 1 else None))
 
@@ -401,7 +405,7 @@ class Trainer:
             self.model, self.tx, self.mesh, self.state,
             num_classes=c.num_classes,
             label_smoothing=c.label_smoothing, remat=c.remat,
-            ema_decay=c.ema_decay,
+            ema_decay=c.ema_decay, grad_accum=c.grad_accum,
             pipeline_microbatches=(c.pipeline_microbatches
                                    if c.pipeline_parallelism > 1 else None))
 

@@ -70,35 +70,90 @@ def apply_remat(forward, remat):
 def train_step(state: TrainState, batch: Dict[str, jax.Array],
                rng: jax.Array, *, model, tx, num_classes: int,
                label_smoothing: float, remat: bool | str = False,
-               ema_decay=None):
-    """One optimizer step; returns (new_state, metrics)."""
-    step_rng = jax.random.fold_in(rng, state.step)
-    rngs = {'dropout': jax.random.fold_in(step_rng, 0),
-            'stochastic_depth': jax.random.fold_in(step_rng, 1)}
+               ema_decay=None, grad_accum: int = 1):
+    """One optimizer step; returns (new_state, metrics).
 
-    def forward(params, images):
+    ``grad_accum > 1`` splits the batch into that many microbatches and
+    accumulates gradients over a ``lax.scan`` before the single optimizer
+    update — the effective batch trains with 1/grad_accum of the
+    activation memory (the reference has no equivalent; its batch is
+    whatever fits). Equal-size microbatches make mean-of-means the exact
+    global mean, so the update equals the unaccumulated one up to
+    float summation order. BatchNorm stats thread through the scan
+    sequentially (same semantics as consecutive smaller steps).
+    """
+    step_rng = jax.random.fold_in(rng, state.step)
+
+    def forward(params, stats, images, rngs):
         variables = {'params': params}
-        if state.batch_stats:
-            variables['batch_stats'] = state.batch_stats
+        if stats:
+            variables['batch_stats'] = stats
         return model.apply(variables, images, is_training=True,
                            rngs=rngs, mutable=['batch_stats'])
 
     forward = apply_remat(forward, remat)
 
-    def loss_fn(params):
-        images = batch['images'].astype(model.dtype)
-        logits, updates = forward(params, images)
+    def loss_fn(params, stats, mb, rngs):
+        images = mb['images'].astype(model.dtype)
+        logits, updates = forward(params, stats, images, rngs)
         logits = logits.astype(jnp.float32)
-        targets = blended_targets(batch, num_classes, label_smoothing)
+        targets = blended_targets(mb, num_classes, label_smoothing)
         loss = jnp.mean(optax.softmax_cross_entropy(logits, targets))
         return loss, (logits, updates.get('batch_stats'))
 
-    (loss, (logits, new_stats)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params)
+    def rngs_of(base):
+        return {'dropout': jax.random.fold_in(base, 0),
+                'stochastic_depth': jax.random.fold_in(base, 1)}
 
-    metrics = {'loss': loss}
-    acc = topk_correct(logits, batch['labels'], prefix='train_')
-    metrics.update(jax.tree_util.tree_map(jnp.mean, acc))
+    def micro_rngs(i):
+        # distinct dropout noise per microbatch; i==0 is NOT the plain
+        # path's stream on purpose (fold_in(step_rng, i) would collide
+        # with the step counter fold when i > 0)
+        return rngs_of(jax.random.fold_in(step_rng, jnp.asarray(2) + i))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if grad_accum == 1:
+        (loss, (logits, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rngs_of(step_rng))
+        metrics = {'loss': loss}
+        acc = topk_correct(logits, batch['labels'], prefix='train_')
+        metrics.update(jax.tree_util.tree_map(jnp.mean, acc))
+    else:
+        b = batch['images'].shape[0]
+        if b % grad_accum:
+            raise ValueError(f'batch {b} not divisible by '
+                             f'grad_accum {grad_accum}')
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(grad_accum, b // grad_accum, *x.shape[1:]),
+            batch)
+
+        def body(carry, mb_i):
+            stats, grads_acc, sums = carry
+            mb, i = mb_i
+            (loss, (logits, new_stats)), grads = grad_fn(
+                state.params, stats, mb, micro_rngs(i))
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            part = {'loss': loss}
+            acc = topk_correct(logits, mb['labels'], prefix='train_')
+            part.update(jax.tree_util.tree_map(jnp.mean, acc))
+            sums = jax.tree_util.tree_map(jnp.add, sums, part)
+            if stats:
+                stats = new_stats
+            return (stats, grads_acc, sums), ()
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        zero_sums = {'loss': jnp.zeros((), jnp.float32),
+                     'train_top_1_acc': jnp.zeros((), jnp.float32),
+                     'train_top_5_acc': jnp.zeros((), jnp.float32)}
+        (new_stats, grads, sums), _ = jax.lax.scan(
+            body, (state.batch_stats, zeros, zero_sums),
+            (micro, jnp.arange(grad_accum)))
+        inv = 1.0 / grad_accum
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g * inv).astype(p.dtype), grads, state.params)
+        metrics = jax.tree_util.tree_map(lambda s: s * inv, sums)
 
     new_state = state.apply_gradients(tx, grads, new_stats,
                                       ema_decay=ema_decay)
@@ -175,12 +230,13 @@ def shard_batch(mesh: Mesh, batch):
 def make_train_step(model, tx, mesh: Mesh, state: TrainState,
                     num_classes: int = 1000, label_smoothing: float = 0.0,
                     donate: bool = True, remat: bool = False,
-                    ema_decay=None):
+                    ema_decay=None, grad_accum: int = 1):
     """Builds the jitted train step with explicit in/out shardings."""
     step = functools.partial(train_step, model=model, tx=tx,
                              num_classes=num_classes,
                              label_smoothing=label_smoothing,
-                             remat=remat, ema_decay=ema_decay)
+                             remat=remat, ema_decay=ema_decay,
+                             grad_accum=grad_accum)
     state_sh = _tree_shardings(mesh, state)
     batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     repl = NamedSharding(mesh, P())
@@ -215,7 +271,8 @@ def make_chained_train_step_over_batches(model, tx, mesh: Mesh,
                                          remat: bool = False,
                                          ema_decay=None,
                                          donate: bool = True,
-                                         pipeline_microbatches=None):
+                                         pipeline_microbatches=None,
+                                         grad_accum: int = 1):
     """N train steps per dispatch over HOST-provided batches.
 
     Complements :func:`make_chained_train_step` (device-generated batches):
@@ -242,7 +299,8 @@ def make_chained_train_step_over_batches(model, tx, mesh: Mesh,
         step = functools.partial(train_step, model=model, tx=tx,
                                  num_classes=num_classes,
                                  label_smoothing=label_smoothing,
-                                 remat=remat, ema_decay=ema_decay)
+                                 remat=remat, ema_decay=ema_decay,
+                                 grad_accum=grad_accum)
 
     def chained(state, rng, batches):
         def body(carry, batch):
@@ -357,7 +415,8 @@ def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
                             num_classes: int = 1000,
                             label_smoothing: float = 0.0,
                             remat: bool = False, donate: bool = True,
-                            ema_decay=None, pipeline_microbatches=None):
+                            ema_decay=None, pipeline_microbatches=None,
+                            grad_accum: int = 1):
     """N train steps per dispatch, batches generated on device.
 
     ``batch_fn(step_index)`` must be traceable (e.g.
@@ -380,7 +439,8 @@ def make_chained_train_step(model, tx, mesh: Mesh, state: TrainState,
         step = functools.partial(train_step, model=model, tx=tx,
                                  num_classes=num_classes,
                                  label_smoothing=label_smoothing,
-                                 remat=remat, ema_decay=ema_decay)
+                                 remat=remat, ema_decay=ema_decay,
+                                 grad_accum=grad_accum)
 
     def chained(state, rng):
         def body(carry, _):

@@ -598,3 +598,63 @@ def test_trainer_prefetch_depth_is_loss_invariant(tmp_path):
         return Trainer(config).run()['loss']
 
     assert run(1) == run(3)
+
+
+def test_grad_accum_matches_single_step():
+    """grad_accum=4 must produce the same update as one full-batch step
+    (equal microbatches => mean-of-means is the global mean; dropout-free
+    config so RNG streams don't matter). SGD keeps the comparison linear
+    in the gradients — Adam at step 0 is ~sign descent and amplifies
+    summation-order noise on near-zero gradients to visible param diffs."""
+    import optax
+    mesh, model, _, _ = tiny_setup()
+    tx = optax.sgd(1e-2)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, IMG, IMG, 3)), is_training=False)
+    state = steps_lib.shard_state(mesh, TrainState.create(variables, tx))
+    data = SyntheticDataset(16, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    batch = data.batch(0)
+    rng = jax.random.PRNGKey(0)
+
+    full = steps_lib.make_train_step(model, tx, mesh, state,
+                                     num_classes=NUM_CLASSES,
+                                     label_smoothing=0.1, donate=False)
+    accum = steps_lib.make_train_step(model, tx, mesh, state,
+                                      num_classes=NUM_CLASSES,
+                                      label_smoothing=0.1, donate=False,
+                                      grad_accum=4)
+    s_full, m_full = full(state, batch, rng)
+    s_acc, m_acc = accum(state, batch, rng)
+    np.testing.assert_allclose(float(m_full['loss']),
+                               float(m_acc['loss']), rtol=1e-5)
+    np.testing.assert_allclose(float(m_full['train_top_1_acc']),
+                               float(m_acc['train_top_1_acc']), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_batchnorm_stats_update():
+    """BN models thread batch_stats through the microbatch scan."""
+    mesh, model, tx, state = tiny_setup(model_name='cvt-13')
+    data = SyntheticDataset(8, IMG, num_classes=NUM_CLASSES, mesh=mesh)
+    step_fn = steps_lib.make_train_step(model, tx, mesh, state,
+                                        num_classes=NUM_CLASSES,
+                                        grad_accum=2, donate=False)
+    before = jax.tree_util.tree_leaves(state.batch_stats)
+    new_state, metrics = step_fn(state, data.batch(0), jax.random.PRNGKey(0))
+    after = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
+    assert np.isfinite(float(metrics['loss']))
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    mesh, model, tx, state = tiny_setup()
+    batch = {'images': jnp.ones((10, IMG, IMG, 3)),
+             'labels': jnp.zeros((10,), jnp.int32)}
+    with pytest.raises(ValueError, match='not divisible'):
+        steps_lib.train_step(state, batch, jax.random.PRNGKey(0),
+                             model=model, tx=tx, num_classes=NUM_CLASSES,
+                             label_smoothing=0.1, grad_accum=3)

@@ -99,6 +99,10 @@ from sav_tpu.train import TrainConfig, Trainer
                  default='none',
                  help="int8 QAT: 'int8' = per-matmul forward, 'ff' = "
                       'whole-FF Pallas kernel (faster than bf16 on v5e)')
+@optgroup.option('--grad_accum', type=click.IntRange(min=1), default=1,
+                 help='accumulate gradients over N microbatches per '
+                      'optimizer step (same effective batch, 1/N '
+                      'activation memory)')
 @optgroup.option('--steps_per_dispatch', type=int, default=1,
                  help='chain N train steps per device dispatch (hides host '
                       'round-trip latency; >1 scans N steps in one jit)')
@@ -128,7 +132,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          checkpoint_dir, seed, dtype, model_parallelism,
          pipeline_parallelism, pipeline_microbatches, total_steps,
          scan_layers, remat, mu_dtype, ema_decay, schedule, pos_embed,
-         quantized, steps_per_dispatch, prefetch_chunks, images_per_epoch,
+         quantized, grad_accum, steps_per_dispatch, prefetch_chunks,
+         images_per_epoch,
          data_workers, eval_data_dir,
          holdout_fraction, eval_batches, use_wandb):
     config = TrainConfig(
@@ -157,6 +162,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         pos_embed=pos_embed,
         quantized=False if quantized == 'none' else (
             True if quantized == 'int8' else quantized),
+        grad_accum=grad_accum,
         steps_per_dispatch=steps_per_dispatch,
         prefetch_chunks=prefetch_chunks,
         data_workers=data_workers,
