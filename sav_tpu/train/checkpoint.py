@@ -65,6 +65,30 @@ class CheckpointManager:
                 state=ocp.args.StandardRestore(abstract)))
         return restored['state']
 
+    def restore_for_inference(self, step: Optional[int] = None):
+        """Template-free restore of the serving-relevant leaves.
+
+        Returns ``{'params', 'batch_stats', 'ema_params', 'step'}`` with
+        the checkpoint's own structure — no optimizer template needed, so
+        inference doesn't have to reconstruct the training optax chain
+        (whose state structure varies with clip/schedule/EMA flags).
+        """
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        step_dir = os.path.join(self._directory, str(step))
+        if os.path.isdir(os.path.join(step_dir, 'state')):
+            restored = self._manager.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore()))['state']
+        else:   # legacy single-item layout
+            restored = self._manager.restore(
+                step, args=ocp.args.StandardRestore())
+        return {'params': restored['params'],
+                'batch_stats': restored.get('batch_stats') or {},
+                'ema_params': restored.get('ema_params'),
+                'step': restored.get('step', step)}
+
     def restore_data_state(self, step: Optional[int] = None
                            ) -> Optional[bytes]:
         """The loader position saved with the checkpoint, if any."""
