@@ -167,6 +167,7 @@ class Trainer:
                                   clip_grad=config.clip_grad,
                                   mu_dtype=config.mu_dtype)
         self.logger = MetricLogger(use_wandb=use_wandb)
+        self._preempted = False
         self.checkpoints = (CheckpointManager(config.checkpoint_dir)
                             if config.checkpoint_dir else None)
 
@@ -288,6 +289,31 @@ class Trainer:
             train_data.set_state(data_state)
 
     def run(self) -> Dict[str, float]:
+        """Runs the training loop with preemption-safe checkpointing: a
+        SIGTERM (the signal TPU-VM maintenance events and most cluster
+        schedulers deliver) checkpoints at the next step boundary and
+        returns cleanly, so --resume from the same directory continues
+        where the preempted run stopped."""
+        import signal
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            logging.warning(
+                'received signal %d: checkpointing at the next step '
+                'boundary, then exiting', signum)
+
+        old_handler = None
+        try:
+            old_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:      # not the main thread (e.g. some tests)
+            pass
+        try:
+            return self._run()
+        finally:
+            if old_handler is not None:
+                signal.signal(signal.SIGTERM, old_handler)
+
+    def _run(self) -> Dict[str, float]:
         c = self.config
         train_data = self._dataset()
         eval_data = self._dataset(seed_offset=1, training=False)
@@ -331,7 +357,7 @@ class Trainer:
             next_step = step + 1
             if self.checkpoints is not None and (
                     (steps_per_ckpt and next_step % steps_per_ckpt == 0)
-                    or next_step == c.steps_total):
+                    or next_step == c.steps_total or self._preempted):
                 self._save_checkpoint(next_step, train_data)
 
             if ((steps_per_eval and next_step % steps_per_eval == 0)
@@ -339,6 +365,9 @@ class Trainer:
                 eval_metrics = self.evaluate(eval_data, c.eval_batches)
                 self.logger.log(eval_metrics, next_step)
                 last_metrics.update(eval_metrics)
+
+            if self._preempted:
+                break
 
         if self.checkpoints is not None:
             self.checkpoints.wait()
@@ -376,6 +405,8 @@ class Trainer:
             self.logger.log(last_metrics, step)
             if self.checkpoints is not None:
                 self.checkpoints.save(step, self.state)
+            if self._preempted:
+                break
 
         eval_metrics = self.evaluate(eval_data, c.eval_batches)
         self.logger.log(eval_metrics, step)
@@ -482,6 +513,8 @@ class Trainer:
                     self.checkpoints.save(step, self.state,
                                           data_state=data_state)
                     last_saved = step
+                if self._preempted:
+                    break
         finally:
             executor.shutdown(wait=False)
 

@@ -136,6 +136,11 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          images_per_epoch,
          data_workers, eval_data_dir,
          holdout_fraction, eval_batches, use_wandb):
+    # absl buffers INFO below its standalone default — without this the
+    # per-step metric lines (and 'restoring checkpoint at step N') never
+    # reach the terminal
+    from absl import logging as absl_logging
+    absl_logging.set_verbosity(absl_logging.INFO)
     config = TrainConfig(
         model_name=model_name,
         img_size=img_size,
