@@ -344,18 +344,25 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--all', action='store_true',
                         help='sweep all BASELINE.json tracked configs')
+    parser.add_argument('--model', default=None,
+                        help='run only tracked configs for this model name')
     parser.add_argument('--batch-size', type=int, default=None)
     args = parser.parse_args()
 
     on_tpu = jax.default_backend() == 'tpu'
-    configs = TRACKED_CONFIGS if args.all else TRACKED_CONFIGS[:1]
+    if args.model:
+        configs = tuple(c for c in TRACKED_CONFIGS if c[0] == args.model)
+        if not configs:
+            raise SystemExit(f'no tracked config for {args.model!r}')
+    else:
+        configs = TRACKED_CONFIGS if args.all else TRACKED_CONFIGS[:1]
     for i, (model_name, img, tpu_bs) in enumerate(configs):
         batch_size = args.batch_size or (tpu_bs if on_tpu else 8)
         # the as-written (pmap, per-step host dispatch) baseline is
         # environment-bound (H2D per step); measure it once on the headline
         # config — vs_matched is the per-model compiled-compute comparison
         result = bench_one(model_name, img, batch_size,
-                           with_as_written=(i == 0))
+                           with_as_written=(i == 0 and not args.model))
         print(json.dumps(result), flush=True)
 
 

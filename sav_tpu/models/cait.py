@@ -46,23 +46,64 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
 
+    def _th_fused_route(self, inputs) -> bool:
+        """Route LN+talking-heads-SA through the one-boundary fused span
+        (ops.th_attention) on TPU when shapes fit — the XLA path pays ~2x
+        per sublayer for the two head mixes (benchmarks/cait_th_probe.py:
+        5.872 vs 3.176 ms/layer at CaiT-S24 shapes; fused span 3.794)
+        because the [B,H,L,L] logits round-trip HBM around each mix.
+        End to end: cait_s_24 @224 bs128 598 -> 1098 img/s (1.95x the
+        reference's matched compute, docs/PERFORMANCE.md round 3)."""
+        if self.use_kernel == 'fused_th':
+            return True
+        if self.use_kernel != 'auto':
+            return False
+        if self.attn_dropout_rate or self.dropout_rate:
+            return False
+        from sav_tpu.ops import th_attention
+        import jax
+        if jax.default_backend() != 'tpu':
+            return False       # CPU interpret mode would be a slowdown
+        dim = inputs.shape[-1]
+        return th_attention.th_supported(inputs.shape[-2], self.num_heads,
+                                         dim // self.num_heads)
+
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        x = nn.LayerNorm(dtype=self.dtype)(inputs)
-        x = SelfAttentionBlock(num_heads=self.num_heads,
-                               talking_heads=True,
-                               attn_dropout_rate=self.attn_dropout_rate,
-                               out_dropout_rate=self.dropout_rate,
-                               dtype=self.dtype,
-                               use_kernel=self.use_kernel)(
-                                   x, is_training=is_training)
+        if self._th_fused_route(inputs):
+            from sav_tpu.nn.attention import (AttentionSublayerParams,
+                                              LayerNormParams)
+            from sav_tpu.ops import th_attention
+            dim = inputs.shape[-1]
+            s1, b1 = LayerNormParams(dim, name='LayerNorm_0')()
+            wq, wk, wv, wo, m_pre, m_post = AttentionSublayerParams(
+                in_ch=dim, num_heads=self.num_heads,
+                head_ch=dim // self.num_heads, talking_heads=True,
+                name='SelfAttentionBlock_0')()
+            # residual=False: LayerScale + stochastic depth sit between
+            # the sublayer and the skip connection (reference cait.py:
+            # 18-53), so they stay outside the boundary
+            x = th_attention.th_attention_sublayer(
+                inputs.astype(self.dtype), s1, b1, wq, wk, wv, wo,
+                m_pre, m_post, self.num_heads)
+        else:
+            x = nn.LayerNorm(dtype=self.dtype)(inputs)
+            x = SelfAttentionBlock(num_heads=self.num_heads,
+                                   talking_heads=True,
+                                   attn_dropout_rate=self.attn_dropout_rate,
+                                   out_dropout_rate=self.dropout_rate,
+                                   dtype=self.dtype,
+                                   use_kernel=self.use_kernel)(
+                                       x, is_training=is_training)
         x = LayerScaleBlock(eps=self.layerscale_eps,
                             dtype=self.dtype)(x, is_training=is_training)
         x = StochasticDepthBlock(drop_rate=self.stoch_depth_rate)(
             x, is_training=is_training)
         x = x + inputs
 
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        # explicit name: the fused branch consumes 'LayerNorm_0' via a
+        # param holder, which would otherwise collide with auto-numbering
+        y = nn.LayerNorm(dtype=self.dtype, name='LayerNorm_1')(x)
         y = FFBlock(expand_ratio=self.expand_ratio,
                     dropout_rate=self.dropout_rate,
                     activation_fn=self.activation_fn,

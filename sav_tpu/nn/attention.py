@@ -113,6 +113,10 @@ class AttentionSublayerParams(nn.Module):
     in_ch: int
     num_heads: int
     head_ch: int
+    # also declare the two [H, H] talking-heads transforms
+    # (TalkingHeadsBlock_0/1, as AttentionBlock(talking_heads=True) names
+    # them) and return them after wo — for ops.th_attention's fused span
+    talking_heads: bool = False
 
     @nn.compact
     def __call__(self):
@@ -126,7 +130,13 @@ class AttentionSublayerParams(nn.Module):
                                   head_ch=self.head_ch,
                                   out_ch=self.in_ch,
                                   name='DenseGeneral_0')()
-        return wq, wk, wv, wo
+        if not self.talking_heads:
+            return wq, wk, wv, wo
+        m_pre = TalkingHeadsBlock(num_heads=self.num_heads,
+                                  name='TalkingHeadsBlock_0')()
+        m_post = TalkingHeadsBlock(num_heads=self.num_heads,
+                                   name='TalkingHeadsBlock_1')()
+        return wq, wk, wv, wo, m_pre, m_post
 
 
 class AttentionBlock(nn.Module):

@@ -1,0 +1,386 @@
+"""Talking-heads attention sublayer under ONE custom_vjp boundary.
+
+CaiT's body blocks mix attention logits across heads before AND after the
+softmax with learned [H, H] transforms (reference models/layers/attentions/
+talking_heads.py:5-14, used at cait.py:32). On the XLA path those two tiny
+einsums double the sublayer's train cost — measured 5.872 vs 3.176
+ms/layer at CaiT-S24 shapes (benchmarks/cait_th_probe.py): XLA
+materializes the [B, H, L, L] logits to HBM around every mix, forward and
+backward. This kernel measures 3.794 ms/layer on the same lane and lifts
+cait_s_24 @224 end to end from 598 to 1098 img/s (1.95x matched).
+
+This module folds the whole span — LN -> q/k/v projections -> logits ->
+pre-mix -> softmax -> post-mix -> PV -> output projection — into one
+Pallas kernel per direction, so the logits (and both mixes) never leave
+VMEM. Round-3's sublayer-boundary pattern (ops/fused_layer.py) supplies
+the structure; what is new here:
+
+  * the per-head logit tiles are kept as an unrolled list so the mixes
+    run as scalar-weighted VMEM adds (the [H, H] matrices live in SMEM);
+  * head bands are zero-padded 48 -> 64 lanes OUTSIDE the kernel (CaiT's
+    head_ch=48 is below the 64-lane band the flash layout needs); padding
+    columns are exact zeros end to end, so results and gradients match
+    the unpadded math bit-for-bit up to float order;
+  * the backward kernel recomputes the logits from q/k (flash-style — no
+    [B, H, L, L] residual), applies both transposed mixes in VMEM, and
+    emits dq/dk/dv plus the two [H, H] transform gradients.
+
+residual=False by default: CaiT applies LayerScale + stochastic depth
+between the sublayer and the skip connection, so those stay outside the
+boundary (elementwise, XLA-fused).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sav_tpu.ops import flash_attention as fa
+from sav_tpu.ops.fused_layer import LN_EPS, _layernorm, _layernorm_bwd
+
+BAND = fa.BAND
+STAT_LANES = fa.STAT_LANES
+# one f32 logits tile list is heads * lp * lane-padded(l) * 4 bytes; the
+# backward keeps ~4 lists live -> cap a list at ~3 MB so the peak stays
+# well under Mosaic's ~16 MB scoped-VMEM limit (with scan headroom)
+_MAX_LIST_BYTES = 3 * 1024 * 1024
+
+
+def th_supported(l: int, num_heads: int, head_ch: int) -> bool:
+    """Single-block geometry + VMEM budget for the unrolled logit lists."""
+    lp = max(fa._round_up(l, 16), 64)
+    lanes = fa._round_up(l, 128)
+    return (head_ch <= BAND
+            and num_heads * lp * lanes * 4 <= _MAX_LIST_BYTES)
+
+
+def _mix_rows(m_ref, tiles, i):
+    """out_i = sum_j m[j, i] * tiles[j] — the reference's head transform
+    ('h i, b h ... -> b i ...', talking_heads.py:5-14) applied to one
+    output head's tile, scalars streamed from SMEM."""
+    acc = m_ref[0, i] * tiles[0]
+    for j in range(1, len(tiles)):
+        acc = acc + m_ref[j, i] * tiles[j]
+    return acc
+
+
+def _dm_tile(scalars, heads):
+    """[heads, 128] f32 tile holding scalars[i][j] at (i, j)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (heads, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (heads, 128), 1)
+    acc = jnp.zeros((heads, 128), jnp.float32)
+    for i in range(heads):
+        for j in range(heads):
+            acc = acc + jnp.where((rows == i) & (cols == j),
+                                  scalars[i][j], 0.0)
+    return acc
+
+
+# ------------------------------------------------------------ forward
+
+def _th_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
+                   wo_ref, mpre_ref, mpost_ref,
+                   out_ref, q_ref, k_ref, v_ref, attn_ref, lse_ref,
+                   *, l: int, heads: int, dp: int, d_logical: int,
+                   eps: float, residual: bool):
+    xf = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    xhat = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (xhat * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
+
+    sc = 1.0 / (d_logical ** 0.5)
+    q = (fa._matmul(y, wq_ref[...]) * sc).astype(q_ref.dtype)
+    k = fa._matmul(y, wk_ref[...]).astype(k_ref.dtype)
+    v = fa._matmul(y, wv_ref[...]).astype(v_ref.dtype)
+    q_ref[0] = q
+    k_ref[0] = k
+    v_ref[0] = v
+
+    band = lambda a, h: a[:, h * dp:(h + 1) * dp]
+    s = [fa._qk(band(q, h), band(k, h))[:, :l] for h in range(heads)]
+    st = [_mix_rows(mpre_ref, s, i) for i in range(heads)]
+
+    pn = []
+    for i in range(heads):
+        m = jnp.max(st[i], axis=1, keepdims=True)
+        p = jnp.exp(st[i] - m)
+        lsum = jnp.sum(p, axis=1, keepdims=True)
+        pn.append(p / lsum)
+        lse_ref[0, i] = jnp.broadcast_to(m + jnp.log(lsum),
+                                         lse_ref.shape[2:])
+
+    for i in range(heads):
+        pt = _mix_rows(mpost_ref, pn, i)
+        attn_ref[0, :, i * dp:(i + 1) * dp] = fa._matmul(
+            pt.astype(v.dtype), band(v, i)[:l]).astype(attn_ref.dtype)
+
+    out = fa._matmul(attn_ref[0].astype(x_ref.dtype), wo_ref[...])
+    if residual:
+        out = xf + out
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre, m_post,
+                  heads, dp, d_logical, eps, residual):
+    """x [B, L, D] (padded weights, flat [D, H*dp] / [H*dp, D] layout)."""
+    b, l, dim = x.shape
+    hd = heads * dp
+    cdt = x.dtype
+    lp = max(fa._round_up(l, 16), 64)
+    x_p = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0))) if lp != l else x
+
+    row = lambda a: a.astype(jnp.float32).reshape(1, dim)
+    x_spec = pl.BlockSpec((1, lp, dim), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    hd_spec = pl.BlockSpec((1, lp, hd), lambda bi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, dim), lambda bi: (0, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((dim, hd), lambda bi: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_out_spec = pl.BlockSpec((hd, dim), lambda bi: (0, 0),
+                              memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    lse_spec = pl.BlockSpec((1, heads, lp, STAT_LANES),
+                            lambda bi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out, qp, kp, vp, attn_p, lse = pl.pallas_call(
+        functools.partial(_th_fwd_kernel, l=l, heads=heads, dp=dp,
+                          d_logical=d_logical, eps=eps, residual=residual),
+        grid=(b,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
+                  w_in_spec, w_out_spec, m_spec, m_spec],
+        out_specs=[x_spec, hd_spec, hd_spec, hd_spec, hd_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lp, dim), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, heads, lp, STAT_LANES), jnp.float32),
+        ],
+        interpret=fa._interpret(),
+    )(x_p, row(scale), row(bias), wq_f, wk_f, wv_f, wo_f,
+      m_pre.astype(jnp.float32), m_post.astype(jnp.float32))
+    return out[:, :l], (qp, kp, vp, attn_p, lse)
+
+
+# ------------------------------------------------------------ backward
+
+def _th_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, mpre_ref,
+                   mpost_ref, dq_ref, dk_ref, dv_ref, dmpre_ref,
+                   dmpost_ref, *, l: int, heads: int, dp: int):
+    lp = q_ref.shape[1]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]          # zero rows beyond l — keeps every grad exact
+    band = lambda a, h: a[:, h * dp:(h + 1) * dp]
+    pad_l = lambda t: jnp.pad(t, ((0, 0), (0, lp - l)))
+
+    s = [fa._qk(band(q, h), band(k, h))[:, :l] for h in range(heads)]
+    pn = []
+    for i in range(heads):
+        st = _mix_rows(mpre_ref, s, i)
+        pn.append(jnp.exp(st - lse_ref[0, i][:, :1]))
+
+    # post-mix backward: da_i = do_i @ v_i^T feeds every dpn_j (transposed
+    # mix) and the dM_post entries; pt_i (recomputed mixed probs) feeds dv
+    dpn = [jnp.zeros((lp, l), jnp.float32) for _ in range(heads)]
+    dmpost = [[None] * heads for _ in range(heads)]
+    for i in range(heads):
+        da = fa._qk(band(do, i), band(v, i)[:l])
+        for j in range(heads):
+            # fwd: a_i = sum_j M[j, i] pn_j  =>  dpn_j += M[j, i] da_i
+            dpn[j] = dpn[j] + mpost_ref[j, i] * da
+            dmpost[j][i] = jnp.sum(da * pn[j])
+        pt = _mix_rows(mpost_ref, pn, i)
+        dv_ref[0, :, i * dp:(i + 1) * dp] = fa._matmul_tn(
+            pad_l(pt).astype(do.dtype), band(do, i)).astype(dv_ref.dtype)
+
+    # softmax backward per head, then the transposed pre-mix
+    ds = [jnp.zeros((lp, l), jnp.float32) for _ in range(heads)]
+    dmpre = [[None] * heads for _ in range(heads)]
+    for i in range(heads):
+        dst = pn[i] * (dpn[i] - jnp.sum(dpn[i] * pn[i], axis=1,
+                                        keepdims=True))
+        for j in range(heads):
+            ds[j] = ds[j] + mpre_ref[j, i] * dst
+            dmpre[j][i] = jnp.sum(dst * s[j])
+
+    for j in range(heads):
+        dq_ref[0, :, j * dp:(j + 1) * dp] = fa._matmul(
+            ds[j].astype(q.dtype), band(k, j)[:l]).astype(dq_ref.dtype)
+        dk_ref[0, :, j * dp:(j + 1) * dp] = fa._matmul_tn(
+            pad_l(ds[j]).astype(q.dtype), band(q, j)).astype(dk_ref.dtype)
+
+    dmpre_ref[0] = _dm_tile(dmpre, heads)
+    dmpost_ref[0] = _dm_tile(dmpost, heads)
+
+
+def th_fused_bwd(qp, kp, vp, lse, do_p, m_pre, m_post, *, l, heads, dp):
+    """dq/dk/dv [B, lp, H*dp] (pre-scaling chain as in flash) + dM pair."""
+    b, lp, hd = qp.shape
+    cdt = qp.dtype
+    hd_spec = pl.BlockSpec((1, lp, hd), lambda bi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, heads, lp, STAT_LANES),
+                            lambda bi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dm_spec = pl.BlockSpec((1, heads, 128), lambda bi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dq, dk, dv, dmpre_b, dmpost_b = pl.pallas_call(
+        functools.partial(_th_bwd_kernel, l=l, heads=heads, dp=dp),
+        grid=(b,),
+        in_specs=[hd_spec, hd_spec, hd_spec, hd_spec, lse_spec, m_spec,
+                  m_spec],
+        out_specs=[hd_spec, hd_spec, hd_spec, dm_spec, dm_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, heads, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, 128), jnp.float32),
+        ],
+        interpret=fa._interpret(),
+    )(qp, kp, vp, do_p, lse, m_pre.astype(jnp.float32),
+      m_post.astype(jnp.float32))
+    dm_pre = jnp.sum(dmpre_b, axis=0)[:, :heads]
+    dm_post = jnp.sum(dmpost_b, axis=0)[:, :heads]
+    return dq, dk, dv, dm_pre, dm_post
+
+
+# ------------------------------------------------------- custom_vjp span
+
+def _pad_weights(wq, wk, wv, wo, heads, d_logical, dp, cdt):
+    """Zero-pads head bands d_logical -> dp and flattens to kernel layout.
+
+    Zero columns/rows are exact: padded q/k/v channels are zero (zero
+    weight columns), contribute nothing to logits or PV, and the padded
+    wo rows are zero so the output projection ignores them.
+    """
+    dim = wq.shape[0]
+    pad3 = ((0, 0), (0, 0), (0, dp - d_logical))
+    wq_f = jnp.pad(wq, pad3).reshape(dim, heads * dp).astype(cdt)
+    wk_f = jnp.pad(wk, pad3).reshape(dim, heads * dp).astype(cdt)
+    wv_f = jnp.pad(wv, pad3).reshape(dim, heads * dp).astype(cdt)
+    wo_f = jnp.pad(wo, ((0, 0), (0, dp - d_logical), (0, 0))).reshape(
+        heads * dp, dim).astype(cdt)
+    return wq_f, wk_f, wv_f, wo_f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def th_attention_sublayer(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
+                          num_heads, eps=LN_EPS, residual=False):
+    """``W_o @ TalkingHeadsMHA(LN(x))`` (+x if residual) as one span.
+
+    x [B, L, D]; wq/wk/wv [D, H, d]; wo [H, d, D]; m_pre/m_post [H, H].
+    Checkpoint layout matches AttentionBlock with talking_heads=True
+    (reference attention.py:29-63 + talking_heads.py:5-14).
+    """
+    out, _ = _th_forward(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
+                         num_heads, eps, residual)
+    return out
+
+
+def _th_forward(x, scale, bias, wq, wk, wv, wo, m_pre, m_post, num_heads,
+                eps, residual):
+    d_logical = wq.shape[2]
+    dp = fa._round_up(d_logical, BAND)
+    wq_f, wk_f, wv_f, wo_f = _pad_weights(wq, wk, wv, wo, num_heads,
+                                          d_logical, dp, x.dtype)
+    return _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre,
+                         m_post, num_heads, dp, d_logical, eps, residual)
+
+
+def _th_sublayer_fwd(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
+                     num_heads, eps, residual):
+    out, core = _th_forward(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
+                            num_heads, eps, residual)
+    return out, (x, scale, bias, wq, wk, wv, wo, m_pre, m_post, core)
+
+
+def _th_sublayer_bwd(num_heads, eps, residual, saved, g):
+    x, scale, bias, wq, wk, wv, wo, m_pre, m_post, core = saved
+    qp, kp, vp, attn_p, lse = core
+    b, l, dim = x.shape
+    d_logical = wq.shape[2]
+    dp = qp.shape[2] // num_heads
+    hd = num_heads * dp
+    lp = qp.shape[1]
+    cdt = x.dtype
+    sc = jnp.asarray(1.0 / jnp.sqrt(d_logical), cdt)
+    g_c = g.astype(cdt)
+
+    wo_f = jnp.pad(wo, ((0, 0), (0, dp - d_logical), (0, 0))).reshape(
+        hd, dim).astype(cdt)
+    d_attn = jnp.einsum('bld,cd->blc', g_c, wo_f)          # [B, l, H*dp]
+    dwo_f = jnp.einsum('blc,bld->cd', attn_p[:, :l], g_c,
+                       preferred_element_type=jnp.float32)
+    do_p = jnp.pad(d_attn, ((0, 0), (0, lp - l), (0, 0)))
+
+    dq_p, dk_p, dv_p, dm_pre, dm_post = th_fused_bwd(
+        qp, kp, vp, lse, do_p, m_pre, m_post, l=l, heads=num_heads, dp=dp)
+    dq_f = dq_p[:, :l] * sc                  # chain the q pre-scaling
+    dk_f = dk_p[:, :l]
+    dv_f = dv_p[:, :l]
+
+    # projection/LN backward in XLA (LN fuses into the GEMMs for free)
+    y, xhat, inv = _layernorm(x, scale, bias, eps)
+    dwq_f = jnp.einsum('bld,blc->dc', y, dq_f,
+                       preferred_element_type=jnp.float32)
+    dwk_f = jnp.einsum('bld,blc->dc', y, dk_f,
+                       preferred_element_type=jnp.float32)
+    dwv_f = jnp.einsum('bld,blc->dc', y, dv_f,
+                       preferred_element_type=jnp.float32)
+    wq_f, wk_f, wv_f, _ = _pad_weights(wq, wk, wv, wo, num_heads,
+                                       d_logical, dp, cdt)
+    dy = (jnp.einsum('blc,dc->bld', dq_f, wq_f)
+          + jnp.einsum('blc,dc->bld', dk_f, wk_f)
+          + jnp.einsum('blc,dc->bld', dv_f, wv_f))
+    dx_ln, dscale, dbias = _layernorm_bwd(dy, xhat, inv, scale)
+    dx = (dx_ln + g.astype(jnp.float32)).astype(cdt) if residual \
+        else dx_ln.astype(cdt)
+
+    unpad_in = lambda dw: dw.reshape(dim, num_heads, dp)[..., :d_logical]
+    dwo = dwo_f.reshape(num_heads, dp, dim)[:, :d_logical]
+    return (dx, dscale.astype(scale.dtype), dbias.astype(bias.dtype),
+            unpad_in(dwq_f).astype(wq.dtype),
+            unpad_in(dwk_f).astype(wk.dtype),
+            unpad_in(dwv_f).astype(wv.dtype),
+            dwo.astype(wo.dtype),
+            dm_pre.astype(m_pre.dtype), dm_post.astype(m_post.dtype))
+
+
+th_attention_sublayer.defvjp(_th_sublayer_fwd, _th_sublayer_bwd)
+
+
+# -------------------------------------------------------------- jnp twin
+
+def th_sublayer_reference(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
+                          eps=LN_EPS, residual=False):
+    """Pure-jnp twin of the span (reference semantics) for equality tests."""
+    d = wq.shape[2]
+    cdt = x.dtype
+    y, _, _ = _layernorm(x, scale, bias, eps)
+    q = jnp.einsum('bld,dhc->blhc', y, wq.astype(cdt)) / jnp.sqrt(
+        jnp.asarray(d, cdt))
+    k = jnp.einsum('bld,dhc->blhc', y, wk.astype(cdt))
+    v = jnp.einsum('bld,dhc->blhc', y, wv.astype(cdt))
+    s = jnp.einsum('bqhc,bphc->bhqp', q, k,
+                   preferred_element_type=jnp.float32)
+    s = jnp.einsum('hi,bhqp->biqp', m_pre.astype(jnp.float32), s)
+    a = jax.nn.softmax(s, axis=-1)
+    a = jnp.einsum('hi,bhqp->biqp', m_post.astype(jnp.float32), a)
+    o = jnp.einsum('bhqp,bphc->bqhc', a.astype(cdt), v)
+    out = jnp.einsum('bqhc,hcd->bqd', o, wo.astype(cdt))
+    return x + out if residual else out
