@@ -20,6 +20,8 @@ sys.path.insert(0, '.')
 jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
 
 B, L, D, H, HD = 128, 196, 384, 8, 48
+if len(sys.argv) > 1:          # e.g. `cait_th_probe.py 48 577` for @384
+    B, L = int(sys.argv[1]), int(sys.argv[2])
 STEPS = 30
 
 
@@ -64,9 +66,11 @@ def main():
             p['wo'], p['m_pre'].astype(jnp.float32),
             p['m_post'].astype(jnp.float32), H)
 
-    lanes = (('xla SA', lambda p, x: sublayer(p, x, False)),
-             ('xla SA+TH', lambda p, x: sublayer(p, x, True)),
-             ('fused TH', fused_th))
+    fwd_only = '--fwd' in sys.argv
+    lanes = [('xla SA', lambda p, x: sublayer(p, x, False)),
+             ('xla SA+TH', lambda p, x: sublayer(p, x, True))]
+    if th_attention.th_mode(L, H, HD) is not None:
+        lanes.append(('fused TH', fused_th))
     for name, fn in lanes:
         def loss(p, x):
             return jnp.sum(jnp.square(fn(p, x).astype(jnp.float32)))
@@ -76,6 +80,8 @@ def main():
         def run(p, x):
             def body(carry, _):
                 p, x = carry
+                if fwd_only:
+                    return (p, x - 1e-6 * fn(p, x)), ()
                 gp, gx = grad_fn(p, x)
                 p = jax.tree_util.tree_map(
                     lambda a, g: a - 1e-6 * g.astype(a.dtype), p, gp)

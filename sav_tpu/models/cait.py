@@ -65,8 +65,8 @@ class EncoderBlock(nn.Module):
         if jax.default_backend() != 'tpu':
             return False       # CPU interpret mode would be a slowdown
         dim = inputs.shape[-1]
-        return th_attention.th_supported(inputs.shape[-2], self.num_heads,
-                                         dim // self.num_heads)
+        return th_attention.th_mode(inputs.shape[-2], self.num_heads,
+                                    dim // self.num_heads) is not None
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):

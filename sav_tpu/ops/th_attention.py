@@ -28,6 +28,14 @@ the structure; what is new here:
 residual=False by default: CaiT applies LayerScale + stochastic depth
 between the sublayer and the skip connection, so those stay outside the
 boundary (elementwise, XLA-fused).
+
+For sequences past the unrolled-list VMEM budget (CaiT @384, L=577), a
+q-BLOCKED core takes over (`th_mode` -> 'blocked'): LN + projections run
+in XLA inside the same custom_vjp boundary, and the Pallas core processes
+one q block against the full kv rows per grid step — exact softmax (no
+online carry; the flash core is single-kv-block at these L anyway) with
+the mixes still in VMEM. dk/dv/dM accumulate in f32 scratch across a
+batch element's q blocks and flush on the last one.
 """
 
 from __future__ import annotations
@@ -56,6 +64,41 @@ def th_supported(l: int, num_heads: int, head_ch: int) -> bool:
     lanes = fa._round_up(l, 128)
     return (head_ch <= BAND
             and num_heads * lp * lanes * 4 <= _MAX_LIST_BYTES)
+
+
+# blocked-core q-block size: the bwd's phased liveness (one [bq, l] list
+# family at a time, logits recomputed per j) keeps 128-row blocks inside
+# the scoped-VMEM limit for both directions
+_BLK_Q_FWD = 128
+_BLK_Q_BWD = 128      # 160 measured 10% slower at CaiT @384 shapes
+_MAX_BLK_LIST_BYTES = 4 * 1024 * 1024
+
+
+def _blk_rows(lp: int, want: int) -> int:
+    """Largest block <= want that divides the 128-aligned row pad."""
+    bq = want
+    while lp % bq:
+        bq -= 32
+    return bq
+
+
+def th_blocked_supported(l: int, num_heads: int, head_ch: int) -> bool:
+    """q-blocked core: full-kv logit rows per q block (exact softmax, no
+    online carry — mirrors the flash core's single-kv-block regime at
+    these L), heads unrolled so the [H, H] mixes run in VMEM."""
+    lanes = fa._round_up(l, 128)
+    return (head_ch <= BAND
+            and num_heads * _BLK_Q_BWD * lanes * 4 <= _MAX_BLK_LIST_BYTES)
+
+
+def th_mode(l: int, num_heads: int, head_ch: int):
+    """'fused' (whole span in one kernel), 'blocked' (XLA LN/proj inside
+    the boundary + q-blocked Pallas core), or None (jnp path)."""
+    if th_supported(l, num_heads, head_ch):
+        return 'fused'
+    if th_blocked_supported(l, num_heads, head_ch):
+        return 'blocked'
+    return None
 
 
 def _mix_rows(m_ref, tiles, i):
@@ -259,6 +302,213 @@ def th_fused_bwd(qp, kp, vp, lse, do_p, m_pre, m_post, *, l, heads, dp):
     return dq, dk, dv, dm_pre, dm_post
 
 
+# ------------------------------------------- blocked core (L > unrolled)
+
+def _th_blk_fwd_kernel(q_ref, k_ref, v_ref, mpre_ref, mpost_ref,
+                       attn_ref, lse_ref, *, l: int, heads: int, dp: int):
+    """One q block x full kv rows: logits sliced to the true kv length so
+    padding columns never reach the mixes or softmax (fa._fwd_kernel's
+    single-block discipline)."""
+    qb = lambda h: q_ref[0][:, h * dp:(h + 1) * dp]
+    kb = lambda h: k_ref[0][:, h * dp:(h + 1) * dp]
+    vb = lambda h: v_ref[0][:, h * dp:(h + 1) * dp]
+
+    s = [fa._qk(qb(h), kb(h))[:, :l] for h in range(heads)]
+    st = [_mix_rows(mpre_ref, s, i) for i in range(heads)]
+    pn = []
+    for i in range(heads):
+        m = jnp.max(st[i], axis=1, keepdims=True)
+        p = jnp.exp(st[i] - m)
+        lsum = jnp.sum(p, axis=1, keepdims=True)
+        pn.append(p / lsum)
+        lse_ref[0, i] = jnp.broadcast_to(m + jnp.log(lsum),
+                                         lse_ref.shape[2:])
+    for i in range(heads):
+        pt = _mix_rows(mpost_ref, pn, i)
+        attn_ref[0, :, i * dp:(i + 1) * dp] = fa._matmul(
+            pt.astype(v_ref.dtype), vb(i)[:l]).astype(attn_ref.dtype)
+
+
+def _th_blk_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, mpre_ref,
+                       mpost_ref, dq_ref, dk_ref, dv_ref, dmpre_ref,
+                       dmpost_ref, dk_acc, dv_acc, dm_acc,
+                       *, l: int, heads: int, dp: int):
+    """Per q block: recompute logits, run the transposed mixes in VMEM,
+    emit dq directly; dk/dv/dM accumulate in f32 scratch across the q
+    blocks of one batch element and flush on the last block.
+
+    The raw per-head logits are never kept as a list — they are
+    recomputed per j where a phase needs them (two extra QK matmul
+    sweeps, ~0.4 GF/image) so only ONE [bq, l]-list family is live per
+    phase. That halves peak VMEM vs the naive ordering and lets the
+    backward run the same 128-row blocks as the forward instead of 64."""
+    qi = pl.program_id(1)
+    nq = pl.num_programs(1)
+    kvp = k_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+        dm_acc[...] = jnp.zeros_like(dm_acc)
+
+    qb = lambda h: q_ref[0][:, h * dp:(h + 1) * dp]
+    kb = lambda h: k_ref[0][:, h * dp:(h + 1) * dp]
+    vb = lambda h: v_ref[0][:, h * dp:(h + 1) * dp]
+    dob = lambda h: do_ref[0][:, h * dp:(h + 1) * dp]
+    pad_kv = lambda t: jnp.pad(t, ((0, 0), (0, kvp - l)))
+    bq = q_ref.shape[1]
+
+    # phase 1: pre-mix accumulated st (s_j transient, no s list), then pn
+    st = [jnp.zeros((bq, l), jnp.float32) for _ in range(heads)]
+    for j in range(heads):
+        s_j = fa._qk(qb(j), kb(j))[:, :l]
+        for i in range(heads):
+            st[i] = st[i] + mpre_ref[j, i] * s_j
+    pn = [jnp.exp(st[i] - lse_ref[0, i][:, :1]) for i in range(heads)]
+
+    # phase 2: post-mix backward — da transient per i feeds dpn and dM2
+    dpn = [jnp.zeros((bq, l), jnp.float32) for _ in range(heads)]
+    dmpost = [[None] * heads for _ in range(heads)]
+    for i in range(heads):
+        da = fa._qk(dob(i), vb(i)[:l])
+        for j in range(heads):
+            dpn[j] = dpn[j] + mpost_ref[j, i] * da
+            dmpost[j][i] = jnp.sum(da * pn[j])
+        pt = _mix_rows(mpost_ref, pn, i)
+        dv_acc[:, i * dp:(i + 1) * dp] += fa._matmul_tn(
+            pad_kv(pt).astype(do_ref.dtype), dob(i))
+
+    # phase 3: softmax backward + transposed pre-mix, per-(i, j) matmul
+    # grids so no dst/ds lists stay live. The pre-mix scalars move from
+    # the [bq, l] logit tiles to the [bq, dp] DQ / [kvp, dp] DK partials
+    # (dq_j = sum_i M[j,i] dst_i @ k_j, dk_j = sum_i M[j,i] dst_i' @ q_j),
+    # and dM1 uses sum(dst_i * s_j) == sum(q_j * (dst_i @ k_j)) so the
+    # raw logits are never rebuilt either. 8x the dq/dk MXU FLOPs
+    # (~+0.4 ms/image at these shapes) buys ~5 MB of peak VMEM — the
+    # trade that lets the whole backward run 128-row blocks.
+    dq_acc = [jnp.zeros((bq, dp), jnp.float32) for _ in range(heads)]
+    dmpre = [[None] * heads for _ in range(heads)]
+    for i in range(heads):
+        dst = (pn[i] * (dpn[i] - jnp.sum(dpn[i] * pn[i], axis=1,
+                                         keepdims=True))
+               ).astype(q_ref.dtype)
+        dst_p = pad_kv(dst)
+        for j in range(heads):
+            dq_part = fa._matmul(dst, kb(j)[:l])
+            dq_acc[j] = dq_acc[j] + mpre_ref[j, i] * dq_part
+            dmpre[j][i] = jnp.sum(qb(j).astype(jnp.float32) * dq_part)
+            dk_acc[:, j * dp:(j + 1) * dp] += mpre_ref[j, i] * \
+                fa._matmul_tn(dst_p, qb(j))
+
+    for j in range(heads):
+        dq_ref[0, :, j * dp:(j + 1) * dp] = dq_acc[j].astype(dq_ref.dtype)
+
+    dm_acc[0] += _dm_tile(dmpre, heads)
+    dm_acc[1] += _dm_tile(dmpost, heads)
+
+    @pl.when(qi == nq - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        dmpre_ref[0] = dm_acc[0]
+        dmpost_ref[0] = dm_acc[1]
+
+
+def _th_blocked_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre, m_post,
+                    heads, dp, d_logical, eps, residual):
+    """XLA LN + projections inside the boundary, q-blocked Pallas core,
+    XLA output projection — the @384 fused_layer structure with the head
+    mixes folded into the core."""
+    b, l, dim = x.shape
+    hd = heads * dp
+    cdt = x.dtype
+    lp = fa._round_up(l, 128)
+    sc = jnp.asarray(1.0 / (d_logical ** 0.5), cdt)
+
+    y, _, _ = _layernorm(x, scale, bias, eps)
+    pad_rows = lambda a: jnp.pad(a, ((0, 0), (0, lp - l), (0, 0))) \
+        if lp != l else a
+    qp = pad_rows(jnp.einsum('bld,dc->blc', y, wq_f) * sc)
+    kp = pad_rows(jnp.einsum('bld,dc->blc', y, wk_f))
+    vp = pad_rows(jnp.einsum('bld,dc->blc', y, wv_f))
+
+    bq = _blk_rows(lp, _BLK_Q_FWD)
+    blk_spec = pl.BlockSpec((1, bq, hd), lambda bi, qi: (bi, qi, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, lp, hd), lambda bi, qi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    lse_spec = pl.BlockSpec((1, heads, bq, STAT_LANES),
+                            lambda bi, qi: (bi, 0, qi, 0),
+                            memory_space=pltpu.VMEM)
+
+    attn_p, lse = pl.pallas_call(
+        functools.partial(_th_blk_fwd_kernel, l=l, heads=heads, dp=dp),
+        grid=(b, lp // bq),
+        in_specs=[blk_spec, kv_spec, kv_spec, m_spec, m_spec],
+        out_specs=[blk_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, heads, lp, STAT_LANES), jnp.float32),
+        ],
+        interpret=fa._interpret(),
+    )(qp, kp, vp, m_pre.astype(jnp.float32), m_post.astype(jnp.float32))
+
+    out = jnp.einsum('blc,cd->bld', attn_p[:, :l].astype(cdt), wo_f)
+    if residual:
+        out = x + out
+    return out.astype(cdt), (qp, kp, vp, attn_p, lse)
+
+
+def th_blocked_bwd(qp, kp, vp, lse, do_p, m_pre, m_post, *, l, heads, dp):
+    """Blocked counterpart of th_fused_bwd (same contract)."""
+    b, lp, hd = qp.shape
+    cdt = qp.dtype
+    bq = _blk_rows(lp, _BLK_Q_BWD)
+    blk_spec = pl.BlockSpec((1, bq, hd), lambda bi, qi: (bi, qi, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, lp, hd), lambda bi, qi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    lse_spec = pl.BlockSpec((1, heads, bq, STAT_LANES),
+                            lambda bi, qi: (bi, 0, qi, 0),
+                            memory_space=pltpu.VMEM)
+    dm_spec = pl.BlockSpec((1, heads, 128), lambda bi, qi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dq, dk, dv, dmpre_b, dmpost_b = pl.pallas_call(
+        functools.partial(_th_blk_bwd_kernel, l=l, heads=heads, dp=dp),
+        grid=(b, lp // bq),
+        in_specs=[blk_spec, kv_spec, kv_spec, blk_spec, lse_spec, m_spec,
+                  m_spec],
+        out_specs=[blk_spec, kv_spec, kv_spec, dm_spec, dm_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, lp, hd), cdt),
+            jax.ShapeDtypeStruct((b, heads, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((lp, hd), jnp.float32),
+            pltpu.VMEM((lp, hd), jnp.float32),
+            pltpu.VMEM((2, heads, 128), jnp.float32),
+        ],
+        # the phased 128-row backward peaks ~18 MB of scoped VMEM; v5e has
+        # 128 MB physical, so raise this kernel's limit past the 16 MB
+        # default rather than shrink the blocks (64-row blocks measured
+        # only 1.10x vs XLA; see docs/PERFORMANCE.md round-3 TH section)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=fa._interpret(),
+    )(qp, kp, vp, do_p, lse, m_pre.astype(jnp.float32),
+      m_post.astype(jnp.float32))
+    dm_pre = jnp.sum(dmpre_b, axis=0)[:, :heads]
+    dm_post = jnp.sum(dmpost_b, axis=0)[:, :heads]
+    return dq, dk, dv, dm_pre, dm_post
+
+
 # ------------------------------------------------------- custom_vjp span
 
 def _pad_weights(wq, wk, wv, wo, heads, d_logical, dp, cdt):
@@ -298,8 +548,12 @@ def _th_forward(x, scale, bias, wq, wk, wv, wo, m_pre, m_post, num_heads,
     dp = fa._round_up(d_logical, BAND)
     wq_f, wk_f, wv_f, wo_f = _pad_weights(wq, wk, wv, wo, num_heads,
                                           d_logical, dp, x.dtype)
-    return _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre,
-                         m_post, num_heads, dp, d_logical, eps, residual)
+    if th_supported(x.shape[1], num_heads, d_logical):
+        return _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f,
+                             m_pre, m_post, num_heads, dp, d_logical, eps,
+                             residual)
+    return _th_blocked_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre,
+                           m_post, num_heads, dp, d_logical, eps, residual)
 
 
 def _th_sublayer_fwd(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
@@ -328,7 +582,9 @@ def _th_sublayer_bwd(num_heads, eps, residual, saved, g):
                        preferred_element_type=jnp.float32)
     do_p = jnp.pad(d_attn, ((0, 0), (0, lp - l), (0, 0)))
 
-    dq_p, dk_p, dv_p, dm_pre, dm_post = th_fused_bwd(
+    core_bwd = th_fused_bwd if th_supported(l, num_heads, d_logical) \
+        else th_blocked_bwd
+    dq_p, dk_p, dv_p, dm_pre, dm_post = core_bwd(
         qp, kp, vp, lse, do_p, m_pre, m_post, l=l, heads=num_heads, dp=dp)
     dq_f = dq_p[:, :l] * sc                  # chain the q pre-scaling
     dk_f = dk_p[:, :l]

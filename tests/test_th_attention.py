@@ -110,3 +110,57 @@ def test_th_supported_geometry():
     assert th.th_supported(196, 8, 48)       # CaiT-S24
     assert not th.th_supported(196, 8, 128)  # head_ch over the band
     assert not th.th_supported(4096, 16, 48)  # logits lists over budget
+
+
+def test_th_mode_dispatch():
+    assert th.th_mode(196, 8, 48) == 'fused'      # CaiT @224
+    assert th.th_mode(577, 8, 48) == 'blocked'    # CaiT @384
+    assert th.th_mode(577, 8, 128) is None        # over the lane band
+    assert th.th_mode(9000, 8, 48) is None        # over the blocked budget
+
+
+class TestBlockedCore:
+    """L past the unrolled budget routes through the q-blocked core."""
+    B2, L2, D2, H2, HD2 = 2, 400, 64, 8, 8
+
+    def _args(self, seed=3):
+        c = self
+        ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+        x = jax.random.normal(ks[0], (c.B2, c.L2, c.D2), jnp.float32)
+        scale = 1.0 + 0.1 * jax.random.normal(ks[1], (c.D2,))
+        bias = 0.1 * jax.random.normal(ks[2], (c.D2,))
+        wq = jax.random.normal(ks[3], (c.D2, c.H2, c.HD2)) / np.sqrt(c.D2)
+        wk = jax.random.normal(ks[4], (c.D2, c.H2, c.HD2)) / np.sqrt(c.D2)
+        wv = jax.random.normal(ks[5], (c.D2, c.H2, c.HD2)) / np.sqrt(c.D2)
+        wo = jax.random.normal(ks[6], (c.H2, c.HD2, c.D2)) / np.sqrt(c.D2)
+        mk = jax.random.split(ks[7])
+        m_pre = jnp.eye(c.H2) + 0.2 * jax.random.normal(mk[0],
+                                                        (c.H2, c.H2))
+        m_post = jnp.eye(c.H2) + 0.2 * jax.random.normal(mk[1],
+                                                         (c.H2, c.H2))
+        return (x, scale, bias, wq, wk, wv, wo, m_pre, m_post)
+
+    def test_routes_blocked(self):
+        assert th.th_mode(self.L2, self.H2, self.HD2) == 'blocked'
+
+    def test_forward_matches_twin(self):
+        args = self._args()
+        got = th.th_attention_sublayer(*args, self.H2, th.LN_EPS, False)
+        want = th.th_sublayer_reference(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grads_match_twin(self):
+        args = self._args(seed=4)
+        gk = jax.grad(lambda a: jnp.sum(jnp.square(
+            th.th_attention_sublayer(*a, self.H2, th.LN_EPS, False))))(args)
+        gt = jax.grad(lambda a: jnp.sum(jnp.square(
+            th.th_sublayer_reference(*a))))(args)
+        names = ['x', 'scale', 'bias', 'wq', 'wk', 'wv', 'wo', 'm_pre',
+                 'm_post']
+        for name, a, b in zip(names, gk, gt):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            denom = np.abs(b).max() + 1e-12
+            assert np.abs(a - b).max() / denom < 5e-4, (
+                name, np.abs(a - b).max(), denom)
