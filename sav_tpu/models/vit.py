@@ -106,6 +106,22 @@ class EncoderBlock(nn.Module):
                 x.astype(self.dtype), s2, b2, w1, bb1, w2, bb2,
                 fused_layer.LN_EPS)
 
+        if self._ff_fused_route(x):
+            # XLA forward + Pallas fused backward for the FF sublayer:
+            # dh = (dy @ W2') * gelu'(hpre) never round-trips HBM
+            # (ops.fused_layer.ff_sublayer; round-3 receipt in
+            # docs/PERFORMANCE.md)
+            from sav_tpu.nn.attention import LayerNormParams
+            from sav_tpu.nn.feedforward import FFParams
+            from sav_tpu.ops import fused_layer
+            dim = x.shape[-1]
+            s2, b2 = LayerNormParams(dim, name='LayerNorm_1')()
+            hidden = max(1, int(self.expand_ratio * dim))
+            w1, bb1, w2, bb2 = FFParams(dim, hidden, name='FFBlock_0')()
+            return fused_layer.ff_sublayer(
+                x.astype(self.dtype), s2, b2, w1, bb1, w2, bb2,
+                fused_layer.LN_EPS)
+
         # explicit name: the fused branch consumes 'LayerNorm_0' via a
         # param holder, which would otherwise collide with auto-numbering
         y = nn.LayerNorm(dtype=self.dtype, name='LayerNorm_1')(x)
@@ -115,6 +131,17 @@ class EncoderBlock(nn.Module):
                     dtype=self.dtype,
                     quantized=self.quantized)(y, is_training=is_training)
         return x + y
+
+    def _ff_fused_route(self, x) -> bool:
+        """Opt-in only (`use_kernel='fused_ff'`): the Pallas FF backward
+        measured a 3.2 ms/layer LOSS vs XLA at ViT-B @224 shapes
+        (benchmarks/ff_bwd_probe.py: 10.56 vs 7.39 ms/layer fwd+bwd, and
+        11.45 at 512-row blocks) — XLA's FF backward is already within
+        ~10% of the pure-GEMM bound standalone, so there is no dh-traffic
+        headroom to recover. Kept as an equality-tested receipt; see
+        docs/PERFORMANCE.md round-3 FF section."""
+        del x
+        return self.use_kernel == 'fused_ff'
 
     def _fused_attention_sublayer(self, inputs, core: str):
         """LN -> self-attention -> out-proj -> residual as ONE custom_vjp

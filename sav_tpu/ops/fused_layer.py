@@ -457,6 +457,174 @@ def auto_core(l: int, num_heads: int, head_ch: int):
     return 'fused' if fused_supported(l, num_heads, head_ch) else 'flash'
 
 
+# ----------------------------------------- FF sublayer, fused backward
+
+# Round 2 closed "fused FF backward" as VMEM-capacity-bound: keeping
+# dh = (dy @ W2') * gelu'(hpre) in VMEM for both its consumers needs
+# W1+W2 (9.4 MB bf16) + f32 dW accumulators (9.4 MB each) resident —
+# 28.2 MB against what was then believed to be a hard 16 MB scoped-VMEM
+# wall. Round 3 found the wall is a per-kernel DEFAULT
+# (pltpu.CompilerParams(vmem_limit_bytes=...); v5e has 128 MB physical),
+# which reopens the design: one Pallas kernel walks row blocks of the
+# flattened [M, D] cotangent, keeps dh/h in VMEM, accumulates dW1/dW2 in
+# f32 scratch and flushes them on the last block. The forward stays XLA
+# (measured at its bandwidth ceiling, round-2 probes); only the backward
+# — where the dh materialization traffic lives — is replaced.
+# tanh-approximation constants of jax.nn.gelu(approximate=True)
+_GELU_C = 0.7978845608028654        # sqrt(2/pi)
+_GELU_A = 0.044715
+
+_FF_VMEM_CEIL = 100 * 1024 * 1024   # of v5e's 128 MB physical VMEM
+
+
+def _ff_geometry(dim: int, hidden: int):
+    """(block_rows, vmem_limit_bytes) for the fused FF backward, or None.
+
+    Weights (bf16) + f32 dW accumulators are resident; row blocks and
+    their f32 transients (dgact/dh/t...) scale with block_rows. The
+    per-kernel limit is sized to the footprint plus pipelining headroom,
+    capped well under the 128 MB physical VMEM.
+    """
+    fixed = dim * hidden * (2 + 2 + 4 + 4)      # W bf16 + dW f32, both mats
+    for bm in (256, 128):
+        rows = bm * (4 * dim + 10 * hidden)     # blocks + transients
+        need = fixed + rows + 14 * 1024 * 1024  # headroom (scan adds ~2MB)
+        if need <= _FF_VMEM_CEIL:
+            return bm, need
+    return None
+
+
+def ff_kernel_supported(dim: int, hidden: int) -> bool:
+    return _ff_geometry(dim, hidden) is not None
+
+
+def _ff_bwd_kernel(g_ref, hpre_ref, y_ref, w1_ref, w2_ref,
+                   dy_ref, dw1_ref, dw2_ref, db1_ref):
+    mi = pl.program_id(0)
+
+    g = g_ref[...]
+    hp = hpre_ref[...].astype(jnp.float32)
+
+    dgact = fa._qk(g, w2_ref[...])                       # [bm, F] f32
+    u = _GELU_C * (hp + _GELU_A * hp * hp * hp)
+    t = jnp.tanh(u)
+    dgelu = 0.5 * (1.0 + t) + 0.5 * hp * (1.0 - t * t) * _GELU_C * (
+        1.0 + 3.0 * _GELU_A * hp * hp)
+    dh32 = dgact * dgelu
+    dh = dh32.astype(g.dtype)
+    h = (0.5 * hp * (1.0 + t)).astype(g.dtype)           # gelu(hpre)
+
+    @pl.when(mi == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    dw2_ref[...] += fa._matmul_tn(h, g)                  # [F, D]
+    dw1_ref[...] += fa._matmul_tn(y_ref[...], dh)        # [D, F]
+    dy_ref[...] = fa._qk(dh, w1_ref[...]).astype(dy_ref.dtype)
+    # (1, F) blocks are not lowerable (sublane must be 8-divisible);
+    # broadcast the row sum over an 8-sublane tile, de-duplicated outside
+    db1_ref[0] = jnp.broadcast_to(jnp.sum(dh32, axis=0, keepdims=True),
+                                  db1_ref.shape[1:])
+
+
+def _ff_bwd_pallas(g2, hpre2, y2, w1_f, w2_f):
+    """g2/y2 [M, D], hpre2 [M, F] (flattened rows). Returns
+    (dy2 [M, D], dw1 [D, F] f32, dw2 [F, D] f32, db1 [F] f32)."""
+    m, dim = g2.shape
+    hidden = hpre2.shape[1]
+    bm, vmem_limit = _ff_geometry(dim, hidden)
+    mp = fa._round_up(m, bm)
+    if mp != m:
+        # zero rows are exact: dh rows are zero (dgact zero), so dW/db
+        # take no contribution and the dy2 rows are sliced off below
+        pad = lambda a: jnp.pad(a, ((0, mp - m), (0, 0)))
+        g2, hpre2, y2 = pad(g2), pad(hpre2), pad(y2)
+    nm = mp // bm
+
+    d_spec = pl.BlockSpec((bm, dim), lambda mi: (mi, 0),
+                          memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((bm, hidden), lambda mi: (mi, 0),
+                          memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((dim, hidden), lambda mi: (0, 0),
+                           memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((hidden, dim), lambda mi: (0, 0),
+                           memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((1, 8, hidden), lambda mi: (mi, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dy2, dw1, dw2, db1_p = pl.pallas_call(
+        _ff_bwd_kernel,
+        grid=(nm,),
+        in_specs=[d_spec, f_spec, d_spec, w1_spec, w2_spec],
+        out_specs=[d_spec, w1_spec, w2_spec, db_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, dim), g2.dtype),
+            jax.ShapeDtypeStruct((dim, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, dim), jnp.float32),
+            jax.ShapeDtypeStruct((nm, 8, hidden), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+        interpret=fa._interpret(),
+    )(g2, hpre2, y2, w1_f, w2_f)
+    return dy2[:m], dw1, dw2, jnp.sum(db1_p[:, 0], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def ff_sublayer(x, scale2, bias2, w1, b1, w2, b2, eps=LN_EPS,
+                residual=True):
+    """``x + W2 @ gelu(W1 @ LN(x) + b1) + b2`` with the XLA forward and
+    the Pallas fused backward (reference ff.py:8-34 semantics).
+
+    ``residual=False`` returns the sublayer output WITHOUT adding x —
+    for blocks that scale/drop the branch before the skip connection
+    (CaiT's LayerScale + stochastic depth, reference cait.py:18-53)."""
+    out, _ = _ff_fwd_res(x, scale2, bias2, w1, b1, w2, b2, eps, residual)
+    return out
+
+
+def _ff_fwd_res(x, scale2, bias2, w1, b1, w2, b2, eps, residual):
+    cdt = x.dtype
+    y2, _, _ = _layernorm(x, scale2, bias2, eps)
+    hpre = y2 @ w1.astype(cdt) + b1.astype(cdt)
+    out = jax.nn.gelu(hpre) @ w2.astype(cdt) + b2.astype(cdt)
+    if residual:
+        out = x + out
+    return out, hpre
+
+
+def _ff_sublayer_fwd(x, scale2, bias2, w1, b1, w2, b2, eps, residual):
+    out, hpre = _ff_fwd_res(x, scale2, bias2, w1, b1, w2, b2, eps,
+                            residual)
+    return out, (x, scale2, bias2, w1, b1, w2, b2, hpre)
+
+
+def _ff_sublayer_bwd(eps, residual, saved, g):
+    x, scale2, bias2, w1, b1, w2, b2, hpre = saved
+    b, l, dim = x.shape
+    hidden = w1.shape[1]
+    cdt = x.dtype
+    g_c = g.astype(cdt)
+
+    y2, xhat2, inv2 = _layernorm(x, scale2, bias2, eps)
+    dy2_f, dw1, dw2, db1 = _ff_bwd_pallas(
+        g_c.reshape(b * l, dim), hpre.reshape(b * l, hidden),
+        y2.reshape(b * l, dim), w1.astype(cdt), w2.astype(cdt))
+    dy2 = dy2_f.reshape(b, l, dim)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+
+    dx_ln, dscale2, dbias2 = _layernorm_bwd(dy2, xhat2, inv2, scale2)
+    dx = (dx_ln + g.astype(jnp.float32)).astype(cdt) if residual \
+        else dx_ln.astype(cdt)
+    return (dx, dscale2.astype(scale2.dtype), dbias2.astype(bias2.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
+ff_sublayer.defvjp(_ff_sublayer_fwd, _ff_sublayer_bwd)
+
+
 # ------------------------------------------- whole-encoder-layer custom_vjp
 
 def _ff_forward(a, scale2, bias2, w1, b1, w2, b2, eps):

@@ -350,3 +350,96 @@ def test_rotary_fused_sublayer_matches_rotary_default(core):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4),
         g_fused, g_def)
+
+
+# --------------------------------------- FF sublayer with Pallas backward
+
+def _ff_sublayer_reference(x, scale2, bias2, w1, b1, w2, b2):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mu * mu, 0.0)
+    y2 = (xf - mu) * jax.lax.rsqrt(var + fused_layer.LN_EPS)
+    y2 = y2 * scale2 + bias2
+    return x + jax.nn.gelu(y2 @ w1 + b1) @ w2 + b2
+
+
+def test_ff_sublayer_forward_matches_reference():
+    p = _ff_params()
+    x = jnp.asarray(np.random.RandomState(7).randn(B, L, D) * 0.1,
+                    jnp.float32)
+    got = fused_layer.ff_sublayer(x, **p)
+    want = _ff_sublayer_reference(x, **p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ff_sublayer_grads_match_reference():
+    """Pallas backward (dh in VMEM, dW f32 accumulators, closed-form
+    tanh-gelu derivative) vs plain autodiff — all seven gradients."""
+    p = _ff_params(seed=5)
+    x = jnp.asarray(np.random.RandomState(8).randn(B, L, D) * 0.1,
+                    jnp.float32)
+    args = (x, p['scale2'], p['bias2'], p['w1'], p['b1'], p['w2'], p['b2'])
+
+    gk = jax.grad(lambda a: jnp.sum(jnp.square(
+        fused_layer.ff_sublayer(*a))))(args)
+    gt = jax.grad(lambda a: jnp.sum(jnp.square(
+        _ff_sublayer_reference(*a))))(args)
+    names = ['x', 'scale2', 'bias2', 'w1', 'b1', 'w2', 'b2']
+    for name, a, b in zip(names, gk, gt):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-12) < 5e-4, name
+
+
+def test_ff_sublayer_row_padding_exact():
+    """M not divisible by the block rows: padded rows contribute nothing."""
+    p = _ff_params(seed=6)
+    x = jnp.asarray(np.random.RandomState(9).randn(1, 3, D) * 0.1,
+                    jnp.float32)
+    got = fused_layer.ff_sublayer(x, **p)
+    want = _ff_sublayer_reference(x, **p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ff_kernel_supported_geometry():
+    assert fused_layer.ff_kernel_supported(768, 3072)    # ViT-B
+    assert fused_layer.ff_kernel_supported(1024, 4096)   # ViT-L
+    assert not fused_layer.ff_kernel_supported(4096, 16384)
+
+
+def test_vit_fused_ff_matches_default():
+    """use_kernel='fused_ff' keeps the standard param tree and matches
+    the per-op path on shared params (outputs + grads)."""
+    from sav_tpu.models import ViT
+
+    default = ViT(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                  patch_shape=(16, 16), dtype=jnp.float32,
+                  use_kernel=False)
+    fused = ViT(num_classes=8, num_layers=2, num_heads=4, embed_dim=64,
+                patch_shape=(16, 16), dtype=jnp.float32,
+                use_kernel='fused_ff')
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = default.init(jax.random.PRNGKey(0), x, is_training=False)
+    fused_variables = fused.init(jax.random.PRNGKey(0), x,
+                                 is_training=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(fused_variables))
+
+    out_default = default.apply(variables, x, is_training=False)
+    out_fused = fused.apply(variables, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_default),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss(m):
+        return lambda params: jnp.sum(jnp.square(m.apply(
+            {'params': params}, x, is_training=False)))
+    g_def = jax.grad(loss(default))(variables['params'])
+    g_fused = jax.grad(loss(fused))(variables['params'])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4),
+        g_fused, g_def)
