@@ -42,6 +42,37 @@ def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
+# Per-kernel scoped-VMEM limits. Mosaic's DEFAULT limit is ~16 MB of
+# v5e's 128 MB physical VMEM, and round 3 discovered it is adjustable
+# per kernel (pltpu.CompilerParams(vmem_limit_bytes=...)). Shapes whose
+# single-block footprint exceeds the default-budget search (13 MB) but
+# fits _RAISED_CAP run as ONE block per direction with the limit raised:
+# at ViT-B @384 (L=577) this measured 11.01 -> 6.72 ms/layer for the
+# attention sublayer (benchmarks/vmem384_probe.py — note the fused lane
+# there needs the (qp, kp) bwd blocks; a 640 kv block over 592-padded
+# arrays makes num_k=0 and silently skips the backward).
+_VMEM_LIMIT: int | None = None      # probe override; None = computed
+_RAISED_CAP = 40 * 1024 * 1024      # max single-block footprint
+_RAISED_LIMIT = 64 * 1024 * 1024    # per-kernel limit in raised regime
+_SINGLE_BLOCK_MAX_L = 1024          # raised regime only below this L
+
+
+def _cparams(heads=None, bq=None, bk=None):
+    if _interpret():
+        return {}
+    limit = _VMEM_LIMIT
+    if limit is None and heads is not None:
+        # the per-head logits tiles dominate; past ~8 MB of them the
+        # 16 MB default is in play, so raise this kernel's cap
+        if heads * bq * bk * 4 > 8 * 1024 * 1024:
+            limit = _RAISED_LIMIT
+    if limit is None:
+        return {}
+    from jax.experimental.pallas import tpu as _pltpu
+    return dict(compiler_params=_pltpu.CompilerParams(
+        vmem_limit_bytes=limit))
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -74,6 +105,17 @@ def _block_sizes(q_len: int, kv_len: int, heads: int, d: int):
     # train-step scan Mosaic's stack runs ~2 MB higher still (304x640
     # fails there at 16.93 MB), so the budget leaves that headroom
     budget = 13 * 1024 * 1024
+
+    # raised regime: when the whole problem fits one block per direction
+    # under _RAISED_CAP (with the per-kernel vmem limit lifted via
+    # _cparams), prefer that — no online-softmax carry, no q-block
+    # revisits of kv. Only engages past the default budget so every
+    # previously-chosen (and measured) block layout is unchanged.
+    if q_len <= _SINGLE_BLOCK_MAX_L and kv_len <= _SINGLE_BLOCK_MAX_L:
+        bq1 = max(_round_up(q_len, 16), 64)
+        bk1 = _round_up(kv_len, 128)
+        if budget < footprint(bq1, bk1) <= _RAISED_CAP:
+            return bq1, bk1
     # Preference order: fewest kv blocks first (each extra kv block pays
     # the online-softmax m/l carry over every q row — measured 3x slower
     # than a single-kv-block pass at L=448), then largest q blocks.
@@ -264,6 +306,7 @@ def _fwd(q, k, v, *, heads: int, block_q: int, block_k: int, kv_len: int):
                        else (1, 8, 128), jnp.float32),
         ],
         interpret=_interpret(),
+        **_cparams(heads, block_q, block_k),
     )(q, k, v)
     return out, lse
 
@@ -394,6 +437,12 @@ def _bwd_blocks(q_len_pad: int, kv_len_pad: int, block_q: int,
                 if total % b == 0]
 
     budget = 13 * 1024 * 1024
+    # raised single-block regime (mirrors _block_sizes): both kernels
+    # read every operand exactly once, per-kernel vmem limit lifted
+    if (q_len_pad <= _SINGLE_BLOCK_MAX_L
+            and kv_len_pad <= _SINGLE_BLOCK_MAX_L
+            and budget < cost(q_len_pad, kv_len_pad) <= _RAISED_CAP):
+        return q_len_pad, kv_len_pad
     # bk candidates at 64-lane granularity so e.g. 640 can split as 2x320
     # (2 re-reads) instead of falling all the way to 5x128 (5 re-reads)
     for bq in divisors(q_len_pad, 16, block_q):
@@ -437,6 +486,7 @@ def _bwd(q, k, v, out, lse, do, *, heads: int, block_q: int, block_k: int,
                        jax.ShapeDtypeStruct(k.shape, k.dtype),
                        jax.ShapeDtypeStruct(v.shape, v.dtype)],
             interpret=_interpret(),
+        **_cparams(heads, block_q, block_k),
         )(q, k, v, out, do, lse)
 
     dq = pl.pallas_call(
@@ -448,6 +498,7 @@ def _bwd(q, k, v, out, lse, do, *, heads: int, block_q: int, block_k: int,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((heads, block_q, d), jnp.float32)],
         interpret=_interpret(),
+        **_cparams(heads, block_q, block_k),
     )(q, k, v, out, do, lse)
 
     # dk/dv: queries iterate innermost for each key block
@@ -469,6 +520,7 @@ def _bwd(q, k, v, out, lse, do, *, heads: int, block_q: int, block_k: int,
         scratch_shapes=[pltpu.VMEM((heads, block_k, d), jnp.float32),
                         pltpu.VMEM((heads, block_k, d), jnp.float32)],
         interpret=_interpret(),
+        **_cparams(heads, block_q, block_k),
     )(q, k, v, out, do, lse)
     return dq, dk, dv
 

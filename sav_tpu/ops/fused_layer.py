@@ -225,6 +225,7 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
                                  jnp.float32),
         ],
         interpret=fa._interpret(),
+        **fa._cparams(num_heads, l_pad, l_pad),
     )(x_p, row(scale), row(bias), wq_f, wk_f, wv_f, wo_f)
     return out[:, :l], (qp, kp, vp, attn_p, lse, l_pad, l_pad)
 
