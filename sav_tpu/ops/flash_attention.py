@@ -122,7 +122,11 @@ def _block_sizes(q_len: int, kv_len: int, heads: int, d: int):
     min_nk = -(-kv_len // 1024)
     for n_k in range(min_nk, 64):
         block_k = min(1024, _round_up(-(-kv_len // n_k), 128))
-        for n_q in range(-(-q_len // 512), 64):
+        # q blocks up to 1568 rows: CvT stage-1 (3136x784) measured
+        # 1892 -> 1909 img/s end-to-end moving from 7x448 to 2x1568
+        # (whole-q 1x3136 overflows the dq kernel's scoped VMEM); shapes
+        # <= 512 rows pick exactly what the old 512-row cap picked
+        for n_q in range(-(-q_len // 1568), 64):
             block_q = _round_up(-(-q_len // n_q), 16)
             if footprint(block_q, block_k) <= budget:
                 return block_q, block_k

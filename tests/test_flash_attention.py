@@ -164,7 +164,8 @@ def test_block_sizes_fit_budget_and_prefer_single_kv():
 
     # measured regression anchors
     assert _block_sizes(197, 197, 12, 64) == (208, 256)   # @224 unchanged
-    assert _block_sizes(3136, 784, 1, 64) == (448, 896)   # CvT unchanged
+    # CvT stage-1: 2x1568 q blocks (1892 -> 1909 img/s vs round-2's 7x448)
+    assert _block_sizes(3136, 784, 1, 64) == (1568, 896)
     # @384 now runs single-block in the raised regime (11.0 -> 6.7
     # ms/layer, benchmarks/vmem384_probe.py)
     assert _block_sizes(577, 577, 12, 64) == (592, 640)
