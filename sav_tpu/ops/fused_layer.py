@@ -471,6 +471,13 @@ def auto_core(l: int, num_heads: int, head_ch: int):
 # f32 scratch and flushes them on the last block. The forward stays XLA
 # (measured at its bandwidth ceiling, round-2 probes); only the backward
 # — where the dh materialization traffic lives — is replaced.
+#
+# MEASURED OUTCOME (round 3, benchmarks/ff_bwd_probe.py): it LOSES —
+# 10.56 ms/layer fwd+bwd vs XLA's 7.39 at ViT-B @224 bs192 shapes
+# (11.45 at 512-row blocks); standalone XLA is within ~10% of the
+# pure-GEMM bound, so there was no dh headroom to recover, and the
+# serialized dW accumulation denies Mosaic cross-step pipelining.
+# Kept OPT-IN (`use_kernel='fused_ff'`) as an equality-tested receipt.
 # tanh-approximation constants of jax.nn.gelu(approximate=True)
 _GELU_C = 0.7978845608028654        # sqrt(2/pi)
 _GELU_A = 0.044715

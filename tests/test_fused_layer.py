@@ -82,6 +82,8 @@ def test_gradients_match_reference(core):
 def test_fused_supported_predicate():
     assert fused_layer.fused_supported(197, 12, 64)
     assert not fused_layer.fused_supported(197, 12, 48)   # band-unaligned
+    # round 3: the raised-VMEM single-block regime makes @384 eligible
+    assert fused_layer.fused_supported(577, 12, 64)
 
 
 @pytest.mark.parametrize('mode', ['fused_layer', 'fused_layer_xla',
