@@ -61,10 +61,20 @@ def _list_images(pattern: str):
               help='use the EMA params when the checkpoint carries them')
 @click.option('--class_names', type=str, default=None,
               help='optional text file, one class name per line')
+@click.option('--quantized', type=click.Choice(['none', 'int8', 'ff']),
+              default='none',
+              help="int8 serving: 'ff' runs each FF sublayer as one int8 "
+                   "Pallas kernel — measured 1.23x bf16 inference "
+                   "throughput on ViT-B @224 (benchmarks/infer_int8_probe"
+                   ".py); weights quantize on the fly, so pair with a QAT "
+                   "(--quantized ff) checkpoint for best accuracy")
 def main(model_name, checkpoint_dir, images, img_size, batch_size, top_k,
-         num_classes, dtype, ema, class_names):
+         num_classes, dtype, ema, class_names, quantized):
+    q = False if quantized == 'none' else (
+        True if quantized == 'int8' else quantized)   # train.py mapping
     model = create_model(model_name, num_classes=num_classes,
-                         dtype=jnp.dtype(dtype))
+                         dtype=jnp.dtype(dtype),
+                         **({'quantized': q} if q else {}))
     variables = jax.jit(model.init, static_argnames='is_training')(
         jax.random.PRNGKey(0), jnp.ones((1, img_size, img_size, 3)),
         is_training=False)

@@ -67,3 +67,28 @@ def test_predict_cli_end_to_end(tiny_checkpoint):
         probs = [c['prob'] for c in row['top_k']]
         assert probs == sorted(probs, reverse=True)
         assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_predict_cli_int8_ff_serving(tiny_checkpoint):
+    """--quantized ff serves through the int8 FF kernel (interpret mode
+    off-TPU) from the same bf16-trained checkpoint — param tree is
+    unchanged, output stays a valid distribution."""
+    tmp_path, _ = tiny_checkpoint
+    img_dir = tmp_path / 'imgs8'
+    img_dir.mkdir()
+    arr = np.random.RandomState(1).randint(0, 256, (70, 70, 3), np.uint8)
+    Image.fromarray(arr).save(img_dir / 'im.jpg', quality=90)
+
+    import predict
+    out = CliRunner().invoke(predict.main, [
+        '-m', 'vit_ti_patch16', '-c', str(tmp_path / 'ck'),
+        '--images', str(img_dir), '--img_size', str(IMG),
+        '-b', '1', '--top_k', '3', '--num_classes', '10',
+        '--dtype', 'float32', '--quantized', 'ff'])
+    assert out.exit_code == 0, out.output
+    rows = [json.loads(line) for line in out.output.splitlines()
+            if line.startswith('{')]
+    assert len(rows) == 1
+    probs = [c['prob'] for c in rows[0]['top_k']]
+    assert probs == sorted(probs, reverse=True)
+    assert all(0.0 <= p <= 1.0 for p in probs)
