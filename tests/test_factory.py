@@ -64,3 +64,11 @@ def test_reference_factory_bugs_fixed():
 def test_overrides():
     model = create_model('vit_b_patch16', use_kernel=False)
     assert model.use_kernel is False
+
+
+def test_unsupported_override_raises_clearly():
+    import pytest as _pytest
+
+    from sav_tpu.models import factory
+    with _pytest.raises(RuntimeError, match='does not support quantized'):
+        factory.create_model('cait_s_24', quantized='ff')
