@@ -55,6 +55,8 @@ class EncoderBlock(nn.Module):
         End to end: cait_s_24 @224 bs128 598 -> 1098 img/s (1.95x the
         reference's matched compute, docs/PERFORMANCE.md round 3)."""
         if self.use_kernel == 'fused_th':
+            assert not (self.attn_dropout_rate or self.dropout_rate), \
+                'fused_th path is dropout-free'
             return True
         if self.use_kernel != 'auto':
             return False

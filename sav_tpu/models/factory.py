@@ -118,9 +118,10 @@ def create_model(model_name: str,
     fields = getattr(model_cls, '__dataclass_fields__', {})
     unknown = [k for k in overrides if fields and k not in fields]
     if unknown:
+        hint = (' (--quantized is ViT-family only)'
+                if 'quantized' in unknown else '')
         raise RuntimeError(
             f'{model_cls.__name__} does not support '
-            f'{", ".join(sorted(unknown))} (e.g. --quantized is '
-            f'ViT-family only); supported overrides: '
+            f'{", ".join(sorted(unknown))}{hint}; supported overrides: '
             f'{", ".join(sorted(set(fields) - {"parent", "name"}))}')
     return model_cls(num_classes=num_classes, dtype=dtype, **kwargs)

@@ -95,29 +95,29 @@ class EncoderBlock(nn.Module):
             # int8 kernel under its own boundary measured a LOSS end to
             # end (LN_1 un-fused from W1); the sublayer span wins — see
             # sav_tpu/ops/int8_ff.py integration receipt
-            from sav_tpu.nn.attention import LayerNormParams
-            from sav_tpu.nn.feedforward import FFParams
             from sav_tpu.ops import fused_layer, int8_ff
-            dim = x.shape[-1]
-            s2, b2 = LayerNormParams(dim, name='LayerNorm_1')()
-            hidden = max(1, int(self.expand_ratio * dim))
-            w1, bb1, w2, bb2 = FFParams(dim, hidden, name='FFBlock_0')()
+            s2, b2, w1, bb1, w2, bb2 = self._ff_sublayer_params(x)
             return int8_ff.int8_ff_sublayer(
                 x.astype(self.dtype), s2, b2, w1, bb1, w2, bb2,
                 fused_layer.LN_EPS)
 
-        if self._ff_fused_route(x):
+        if self.use_kernel == 'fused_ff':
             # XLA forward + Pallas fused backward for the FF sublayer:
-            # dh = (dy @ W2') * gelu'(hpre) never round-trips HBM
-            # (ops.fused_layer.ff_sublayer; round-3 receipt in
-            # docs/PERFORMANCE.md)
-            from sav_tpu.nn.attention import LayerNormParams
-            from sav_tpu.nn.feedforward import FFParams
+            # dh = (dy @ W2') * gelu'(hpre) never round-trips HBM.
+            # OPT-IN ONLY — measured a 3.2 ms/layer LOSS vs XLA at ViT-B
+            # @224 (benchmarks/ff_bwd_probe.py: 10.56 vs 7.39 ms/layer;
+            # XLA is within ~10% of the pure-GEMM bound, no dh headroom);
+            # kept as the equality-tested receipt, docs/PERFORMANCE.md.
             from sav_tpu.ops import fused_layer
-            dim = x.shape[-1]
-            s2, b2 = LayerNormParams(dim, name='LayerNorm_1')()
-            hidden = max(1, int(self.expand_ratio * dim))
-            w1, bb1, w2, bb2 = FFParams(dim, hidden, name='FFBlock_0')()
+            assert not self.dropout_rate and not self.quantized, \
+                'fused_ff path is dropout-free and unquantized'
+            assert self.activation_fn is nn.activation.gelu, \
+                'fused_ff hardcodes the tanh-gelu derivative'
+            assert fused_layer.ff_kernel_supported(
+                x.shape[-1],
+                max(1, int(self.expand_ratio * x.shape[-1]))), \
+                'fused_ff geometry exceeds the VMEM ceiling'
+            s2, b2, w1, bb1, w2, bb2 = self._ff_sublayer_params(x)
             return fused_layer.ff_sublayer(
                 x.astype(self.dtype), s2, b2, w1, bb1, w2, bb2,
                 fused_layer.LN_EPS)
@@ -132,16 +132,16 @@ class EncoderBlock(nn.Module):
                     quantized=self.quantized)(y, is_training=is_training)
         return x + y
 
-    def _ff_fused_route(self, x) -> bool:
-        """Opt-in only (`use_kernel='fused_ff'`): the Pallas FF backward
-        measured a 3.2 ms/layer LOSS vs XLA at ViT-B @224 shapes
-        (benchmarks/ff_bwd_probe.py: 10.56 vs 7.39 ms/layer fwd+bwd, and
-        11.45 at 512-row blocks) — XLA's FF backward is already within
-        ~10% of the pure-GEMM bound standalone, so there is no dh-traffic
-        headroom to recover. Kept as an equality-tested receipt; see
-        docs/PERFORMANCE.md round-3 FF section."""
-        del x
-        return self.use_kernel == 'fused_ff'
+    def _ff_sublayer_params(self, x):
+        """LN_1 + FFBlock_0 param holders matching the standard path's
+        auto-numbered tree (checkpoint-interchangeable)."""
+        from sav_tpu.nn.attention import LayerNormParams
+        from sav_tpu.nn.feedforward import FFParams
+        dim = x.shape[-1]
+        s2, b2 = LayerNormParams(dim, name='LayerNorm_1')()
+        hidden = max(1, int(self.expand_ratio * dim))
+        w1, bb1, w2, bb2 = FFParams(dim, hidden, name='FFBlock_0')()
+        return s2, b2, w1, bb1, w2, bb2
 
     def _fused_attention_sublayer(self, inputs, core: str):
         """LN -> self-attention -> out-proj -> residual as ONE custom_vjp

@@ -68,8 +68,7 @@ def _cparams(heads=None, bq=None, bk=None):
             limit = _RAISED_LIMIT
     if limit is None:
         return {}
-    from jax.experimental.pallas import tpu as _pltpu
-    return dict(compiler_params=_pltpu.CompilerParams(
+    return dict(compiler_params=pltpu.CompilerParams(
         vmem_limit_bytes=limit))
 
 

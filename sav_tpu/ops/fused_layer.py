@@ -541,7 +541,13 @@ def _ff_bwd_pallas(g2, hpre2, y2, w1_f, w2_f):
     (dy2 [M, D], dw1 [D, F] f32, dw2 [F, D] f32, db1 [F] f32)."""
     m, dim = g2.shape
     hidden = hpre2.shape[1]
-    bm, vmem_limit = _ff_geometry(dim, hidden)
+    geometry = _ff_geometry(dim, hidden)
+    if geometry is None:
+        raise ValueError(
+            f'fused FF backward unsupported at dim={dim} hidden={hidden}: '
+            f'weights + dW accumulators exceed the VMEM ceiling '
+            f'(check ff_kernel_supported before routing)')
+    bm, vmem_limit = geometry
     mp = fa._round_up(m, bm)
     if mp != m:
         # zero rows are exact: dh rows are zero (dgact zero), so dW/db
