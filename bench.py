@@ -70,6 +70,9 @@ TRACKED_CONFIGS = (
     # over one axis, value contraction drops the key grid) — no comparable
     # baseline exists (see tests/test_golden_parity.py BoTNet notes)
     ('botnet_t3', 224, 64),
+    # the largest factory model that fits one v5e: bs48 OOMs (the ours +
+    # matched-reference lanes share the process), bs32 runs with headroom
+    ('vit_l_patch16', 224, 32),
 )
 
 NO_BASELINE = {'botnet_t3'}
@@ -98,6 +101,11 @@ def _time_scan(step_fn, state, batch, steps=SCAN_STEPS, repeats=3):
     float(loss)                               # force completion
     best = float('inf')
     for _ in range(repeats):
+        # free the previous run's output state BEFORE re-running: holding
+        # it alongside the input state, the new output, and the step's
+        # temporaries peaks ~3 state copies + temps — ViT-L @224 bs32
+        # (3.4 GB state, 5.7 GB temp) OOMs 16 GB HBM without this
+        del state2
         start = time.perf_counter()
         state2, loss = run(state, batch)
         float(loss)                           # forces the whole chain
@@ -314,8 +322,18 @@ def bench_reference_as_written(model_name, img, batch_size,
     return best
 
 
+def _release_device_memory():
+    """Drop compiled executables + collected garbage between lanes so a
+    big model's lanes don't stack in HBM (ViT-L @224 bs32: the matched
+    lane OOMs after the ours lane without this, and fits with it)."""
+    import gc
+    gc.collect()
+    jax.clear_caches()
+
+
 def bench_one(model_name, img, batch_size, with_as_written=True):
     ours = bench_ours(model_name, img, batch_size)
+    _release_device_memory()
     result = {
         'metric': f'images/sec/chip {model_name} @{img} train step '
                   f'(bs={batch_size}, {jax.default_backend()})',
@@ -331,6 +349,7 @@ def bench_one(model_name, img, batch_size, with_as_written=True):
     matched = bench_reference_matched(model_name, img, batch_size)
     result['vs_matched'] = round(matched / ours, 4)
     if with_as_written:
+        _release_device_memory()
         as_written = bench_reference_as_written(model_name, img, batch_size)
         result['ref_as_written_ips'] = round(batch_size / as_written, 2)
         result['vs_baseline'] = round(as_written / ours, 4)
