@@ -77,21 +77,67 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
 
+    def _inner_fused_route(self, pixel_inputs) -> bool:
+        """Route the whole inner layer through the patches-in-lanes
+        Pallas kernel (ops.tnt_inner): the standard path's [B*P, 16, 24]
+        tensors pad 16/24 -> 128 lanes on TPU, an 8x bandwidth tax that
+        makes the inner stack ~9 ms/layer for <1 GFLOP; the kernel
+        measures 1.13 ms/layer fwd (benchmarks/tnt_inner_kernel_proto.py,
+        full receipts docs/PERFORMANCE.md round-3)."""
+        if self.use_kernel == 'fused_inner':
+            assert not (self.attn_dropout_rate or self.dropout_rate), \
+                'fused_inner path is dropout-free'
+            return True
+        if self.use_kernel != 'auto':
+            return False
+        if self.attn_dropout_rate or self.dropout_rate:
+            return False
+        import jax as _jax
+        from sav_tpu.ops import tnt_inner
+        if _jax.default_backend() != 'tpu':
+            return False       # CPU interpret mode would be a slowdown
+        l, d = pixel_inputs.shape[-2], pixel_inputs.shape[-1]
+        return tnt_inner.supported(l, d, self.inner_num_heads)
+
     @nn.compact
     def __call__(self, patch_inputs, pixel_inputs, is_training: bool):
-        inner_x = nn.LayerNorm(dtype=self.dtype)(pixel_inputs)
-        inner_x = SelfAttentionBlock(num_heads=self.inner_num_heads,
-                                     attn_dropout_rate=self.attn_dropout_rate,
-                                     out_dropout_rate=self.dropout_rate,
-                                     dtype=self.dtype,
-                                     use_kernel=self.use_kernel)(
-                                         inner_x, is_training=is_training)
-        inner_x = inner_x + pixel_inputs
-        inner_y = nn.LayerNorm(dtype=self.dtype)(inner_x)
-        inner_y = FFBlock(expand_ratio=self.inner_expand_ratio,
-                          dropout_rate=self.dropout_rate,
-                          dtype=self.dtype)(inner_y, is_training=is_training)
-        inner_output = inner_x + inner_y
+        if self._inner_fused_route(pixel_inputs):
+            from sav_tpu.nn.attention import (AttentionSublayerParams,
+                                              LayerNormParams)
+            from sav_tpu.nn.feedforward import FFParams
+            from sav_tpu.ops import tnt_inner
+            d = pixel_inputs.shape[-1]
+            s1, b1 = LayerNormParams(d, name='LayerNorm_0')()
+            wq, wk, wv, wo = AttentionSublayerParams(
+                in_ch=d, num_heads=self.inner_num_heads,
+                head_ch=d // self.inner_num_heads,
+                name='SelfAttentionBlock_0')()
+            s2, b2 = LayerNormParams(d, name='LayerNorm_1')()
+            hidden = max(1, int(self.inner_expand_ratio * d))
+            w1, bb1, w2, bb2 = FFParams(d, hidden, name='FFBlock_0')()
+            inner_output = tnt_inner.inner_layer(
+                pixel_inputs.astype(self.dtype), s1, b1, wq, wk, wv, wo,
+                s2, b2, w1, bb1, w2, bb2, self.inner_num_heads)
+        else:
+            inner_x = nn.LayerNorm(dtype=self.dtype,
+                                   name='LayerNorm_0')(pixel_inputs)
+            inner_x = SelfAttentionBlock(
+                num_heads=self.inner_num_heads,
+                attn_dropout_rate=self.attn_dropout_rate,
+                out_dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                use_kernel=self.use_kernel,
+                name='SelfAttentionBlock_0')(
+                    inner_x, is_training=is_training)
+            inner_x = inner_x + pixel_inputs
+            inner_y = nn.LayerNorm(dtype=self.dtype,
+                                   name='LayerNorm_1')(inner_x)
+            inner_y = FFBlock(expand_ratio=self.inner_expand_ratio,
+                              dropout_rate=self.dropout_rate,
+                              dtype=self.dtype,
+                              name='FFBlock_0')(inner_y,
+                                                is_training=is_training)
+            inner_output = inner_x + inner_y
 
         bridged = Inner2OuterBlock(dtype=self.dtype)(patch_inputs,
                                                      inner_output)
@@ -138,9 +184,13 @@ class EncoderBlock(nn.Module):
             outer_x = outer_x + patch_inputs
         outer_y = nn.LayerNorm(dtype=self.dtype,
                                name='LayerNorm_3')(outer_x)
+        # explicit name: the fused-inner branch consumes 'FFBlock_0' via
+        # a param holder, which would otherwise shift auto-numbering
         outer_y = FFBlock(expand_ratio=self.outer_expand_ratio,
                           dropout_rate=self.dropout_rate,
-                          dtype=self.dtype)(outer_y, is_training=is_training)
+                          dtype=self.dtype,
+                          name='FFBlock_1')(outer_y,
+                                            is_training=is_training)
         return outer_x + outer_y, inner_output
 
 
