@@ -38,8 +38,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-6
-_NB = 896                       # patches per grid block (7 x 128 lanes)
+# patches per grid block: test override (tests pin 128); None = auto
+_NB = None
 _VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _nb_for(d: int) -> int:
+    """Lane width (patches) per grid block, scaled so the backward's
+    f32 working set (~recompute state + per-head lists, all [d, L*NB])
+    stays inside the 64 MB scoped-VMEM budget. d=24 (TNT-S) -> 896
+    (measured); d=40 (TNT-B) at 896 overflowed by 8 MB (72.19 vs 64),
+    so the patch budget scales inversely with d."""
+    if _NB is not None:
+        return _NB
+    return max(128, (896 * 24 // d) // 128 * 128)
 
 # dW scratch layout: one f32 [GROWS, max(4D, 128)] tile holding every
 # weight/bias gradient, flushed on the last grid block (see _gslices)
@@ -397,17 +409,18 @@ def _forward(x, ln1s, ln1b, wq, wk, wv, wo, ln2s, ln2b, w1, b1, w2, b2,
     bp, l, d = x.shape
     ff = w1.shape[1]
     cdt = x.dtype
-    xt = _to_blocked(x, _NB)
+    nb = _nb_for(d)
+    xt = _to_blocked(x, nb)
     nblk = xt.shape[0]
     w = _pack_weights(wq, wk, wv, wo, w1, b1, w2, b2, ln1s, ln1b, ln2s,
                       ln2b, d, ff)
 
-    blk = pl.BlockSpec((1, d, l * _NB), lambda i: (i, 0, 0),
+    blk = pl.BlockSpec((1, d, l * nb), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec(w.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     out_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, l=l, nb=_NB, d=d, ff=ff,
+        functools.partial(_fwd_kernel, l=l, nb=nb, d=d, ff=ff,
                           heads=num_heads),
         grid=(nblk,),
         in_specs=[blk, wspec],
@@ -417,7 +430,7 @@ def _forward(x, ln1s, ln1b, wq, wk, wv, wo, ln2s, ln2b, w1, b1, w2, b2,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() != 'tpu',
     )(xt, w)
-    return _from_blocked(out_t, bp, _NB), (xt, w)
+    return _from_blocked(out_t, bp, nb), (xt, w)
 
 
 def _inner_fwd(x, ln1s, ln1b, wq, wk, wv, wo, ln2s, ln2b, w1, b1, w2,
@@ -434,15 +447,16 @@ def _inner_bwd(num_heads, saved, g):
     cdt = xt.dtype
     wq_shape = (d, num_heads, d // num_heads)
     nblk = xt.shape[0]
-    gt = _to_blocked(g.astype(cdt), _NB)
+    nb = _nb_for(d)
+    gt = _to_blocked(g.astype(cdt), nb)
 
-    blk = pl.BlockSpec((1, d, l * _NB), lambda i: (i, 0, 0),
+    blk = pl.BlockSpec((1, d, l * nb), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec(w.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
 
     dx_t, dw = pl.pallas_call(
-        functools.partial(_bwd_kernel, l=l, nb=_NB, d=d, ff=ff,
+        functools.partial(_bwd_kernel, l=l, nb=nb, d=d, ff=ff,
                           heads=num_heads),
         grid=(nblk,),
         in_specs=[blk, wspec, blk],
@@ -455,7 +469,7 @@ def _inner_bwd(num_heads, saved, g):
         interpret=jax.default_backend() != 'tpu',
     )(xt, w, gt)
 
-    dx = _from_blocked(dx_t, bp, _NB)
+    dx = _from_blocked(dx_t, bp, nb)
     gr = _unpack_grads(dw, d, ff)
     h = num_heads
     hd = d // h

@@ -57,6 +57,17 @@ def test_grads_match_twin():
             name, np.abs(a - b).max(), denom)
 
 
+def test_auto_block_width(monkeypatch):
+    """NB scales inversely with d (d=40 at 896 overflowed scoped VMEM
+    by 8 MB on chip); always a lane multiple."""
+    monkeypatch.setattr(tnt_inner, '_NB', None)
+    assert tnt_inner._nb_for(24) == 896     # TNT-S, measured block
+    assert tnt_inner._nb_for(40) == 512     # TNT-B fits 64 MB
+    assert tnt_inner._nb_for(64) == 256
+    for d in (8, 16, 24, 32, 40, 48, 56, 64):
+        assert tnt_inner._nb_for(d) % 128 == 0
+
+
 def test_supported_geometry():
     assert tnt_inner.supported(16, 24, 4)        # TNT-S inner
     assert tnt_inner.supported(16, 40, 4)        # TNT-B inner
