@@ -59,6 +59,7 @@ TRACKED_CONFIGS = (
     ('cait_s_24', 224, 128),
     ('cvt-13', 224, 64),
     ('tnt_s_patch16', 224, 64),
+    ('tnt_b_patch16', 224, 32),
     ('ceit_s', 224, 64),
     # @384: the flash-kernel dispatch region (L=577), the reference's own
     # large-resolution test point (reference: botnet_test.py:13-23,
