@@ -84,7 +84,7 @@ class EncoderBlock(nn.Module):
         makes the inner stack ~9 ms/layer for <1 GFLOP; the kernel
         measures 1.13 ms/layer fwd (benchmarks/tnt_inner_kernel_proto.py,
         full receipts docs/PERFORMANCE.md round-3)."""
-        if self.use_kernel == 'fused_inner':
+        if self.use_kernel in ('fused_inner', 'fused_inner_outer'):
             assert not (self.attn_dropout_rate or self.dropout_rate), \
                 'fused_inner path is dropout-free'
             return True
@@ -152,6 +152,8 @@ class EncoderBlock(nn.Module):
         # boundary, unlike ViT (docs/PERFORMANCE.md round-3)
         from sav_tpu.models.vit import FUSED_LAYER_MODES
         fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
+        if self.use_kernel == 'fused_inner_outer':
+            fused_core = 'fused'   # inner kernel + fused outer sublayer
         if fused_core is not None:
             from sav_tpu.nn.attention import (AttentionSublayerParams,
                                               LayerNormParams)

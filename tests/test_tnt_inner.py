@@ -76,9 +76,13 @@ def test_supported_geometry():
     assert not tnt_inner.supported(196, 24, 4)   # too many tokens
 
 
-def test_tnt_block_fused_route_matches_standard():
-    """EncoderBlock(use_kernel='fused_inner') keeps the standard param
-    tree and matches the per-op path on shared params."""
+@pytest.mark.parametrize('mode', ['fused_inner', 'fused_inner_outer'])
+def test_tnt_block_fused_route_matches_standard(mode):
+    """EncoderBlock(use_kernel='fused_inner'/'fused_inner_outer') keeps
+    the standard param tree and matches the per-op path on shared params
+    ('fused_inner_outer' additionally runs the outer attention sublayer
+    under one custom_vjp — measured 2.1% slower end to end, kept opt-in;
+    docs/PERFORMANCE.md round-3)."""
     from sav_tpu.models.tnt import EncoderBlock
 
     patches = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 48),
@@ -88,7 +92,7 @@ def test_tnt_block_fused_route_matches_standard():
     base = EncoderBlock(inner_num_heads=H, outer_num_heads=4,
                         use_kernel=False)
     fused = EncoderBlock(inner_num_heads=H, outer_num_heads=4,
-                         use_kernel='fused_inner')
+                         use_kernel=mode)
     v = base.init({'params': jax.random.PRNGKey(2)}, patches, pixels,
                   is_training=False)
     v2 = fused.init({'params': jax.random.PRNGKey(2)}, patches, pixels,
