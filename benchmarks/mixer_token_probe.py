@@ -85,13 +85,22 @@ def bench(block):
     x0 = jax.random.normal(jax.random.PRNGKey(1), (B, L, D)).astype(DT)
 
     def loss(p, x):
-        return block(p, x).astype(jnp.float32).sum()
+        # nonlinear reduction: a plain .sum() makes the output cotangent a
+        # constant ones tensor and lets XLA fold away the top of the
+        # backward (dW2 = h' @ ones), under-measuring by ~2x
+        return jnp.sum(block(p, x).astype(jnp.float32) ** 2)
 
     @jax.jit
     def run(p, x):
         def body(carry, _):
             g = jax.grad(loss)(p, carry)
-            return carry + 1e-6 * g['cw2'].sum().astype(DT), ()
+            # consume EVERY grad nonlinearly: reading only one leaf lets
+            # XLA dead-code-eliminate the other dW computations, and a
+            # plain sum is algebraically collapsible — both measured as
+            # impossibly-fast layers (>peak TF/s) in earlier revisions
+            gsum = sum(jnp.sum(v.astype(jnp.float32) ** 2)
+                       for v in jax.tree_util.tree_leaves(g))
+            return carry + (1e-6 * gsum).astype(DT), ()
         y, _ = jax.lax.scan(body, x, None, length=STEPS)
         return y.astype(jnp.float32).sum()
 

@@ -7,7 +7,7 @@ layout, exactly like the reference, so parameters stay drop-in compatible.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Tuple, Union
 
 import jax.numpy as jnp
 from einops import rearrange
@@ -23,13 +23,58 @@ class MixerBlock(nn.Module):
     channels_expand_ratio: float
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
+    use_kernel: Union[str, bool] = 'auto'
+
+    def _token_kernel_route(self, inputs) -> bool:
+        """Route the token-mixing sublayer through the images-in-lanes
+        Pallas kernel (ops.mixer_token): the transposed per-op path runs
+        at ~18 TF/s — L=196 pads to 256 lanes on every intermediate and
+        two relayouts bracket MXU-starved [*, 196]x[196, 98] GEMMs
+        (benchmarks/mixer_token_probe.py; receipts in
+        docs/PERFORMANCE.md round-3)."""
+        if self.use_kernel == 'fused_token':
+            assert self.activation_fn is nn.activation.gelu, \
+                'fused_token path is gelu-only'
+            return True
+        if self.use_kernel != 'auto':
+            return False
+        if self.activation_fn is not nn.activation.gelu:
+            return False
+        import jax as _jax
+        from sav_tpu.ops import mixer_token
+        if _jax.default_backend() != 'tpu':
+            return False       # CPU interpret mode would be a slowdown
+        l, d = inputs.shape[-2], inputs.shape[-1]
+        k = max(1, int(self.tokens_expand_ratio * l))
+        return mixer_token.supported(l, k, d)
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        def mlp(ratio, z):
+        def mlp(ratio, z, name=None):
             return FFBlock(expand_ratio=ratio,
                            activation_fn=self.activation_fn,
-                           dtype=self.dtype)(z, is_training=is_training)
+                           dtype=self.dtype,
+                           name=name)(z, is_training=is_training)
+
+        if self._token_kernel_route(inputs):
+            # one custom_vjp span for LN -> token-mix -> residual;
+            # parameter tree identical to the per-op path below
+            from sav_tpu.nn.attention import LayerNormParams
+            from sav_tpu.nn.feedforward import FFParams
+            from sav_tpu.ops import mixer_token
+
+            l, d = inputs.shape[-2], inputs.shape[-1]
+            ls, lb = LayerNormParams(d, name='LayerNorm_0')()
+            w1, b1, w2, b2 = FFParams(
+                l, max(1, int(self.tokens_expand_ratio * l)),
+                name='FFBlock_0')()
+            tokens = mixer_token.token_mix_sublayer(
+                inputs.astype(self.dtype), ls, lb, w1, b1, w2, b2)
+            channels = mlp(self.channels_expand_ratio,
+                           nn.LayerNorm(dtype=self.dtype,
+                                        name='LayerNorm_1')(tokens),
+                           name='FFBlock_1')
+            return tokens + channels
 
         # token mixing: transpose so the MLP contracts over the sequence
         # axis, then transpose back before the residual
@@ -64,6 +109,7 @@ class MLPMixer(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
+    use_kernel: Union[str, bool] = 'auto'
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -75,7 +121,8 @@ class MLPMixer(nn.Module):
         block_kwargs = dict(tokens_expand_ratio=self.tokens_expand_ratio,
                             channels_expand_ratio=self.channels_expand_ratio,
                             activation_fn=self.activation_fn,
-                            dtype=self.dtype)
+                            dtype=self.dtype,
+                            use_kernel=self.use_kernel)
         if self.scan_layers:
             scanned = nn.scan(ScanMixerBlock,
                               variable_axes={'params': 0},
