@@ -57,6 +57,8 @@ def main():
     bf16 = lane('bf16', False)
     int8 = lane('int8-ff', 'ff')
     print(f'int8-ff / bf16 = {int8 / bf16:.3f}x', flush=True)
+    q8 = lane('int8-all', 'all')      # + int8 attention projections
+    print(f'int8-all / bf16 = {q8 / bf16:.3f}x', flush=True)
 
 
 if __name__ == '__main__':

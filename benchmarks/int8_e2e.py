@@ -62,7 +62,8 @@ def _bench(model, batch_size, img):
 
 
 def main(lane='bf16', batch_size=192, img=224):
-    kwargs = {} if lane == 'bf16' else {'quantized': 'ff'}
+    kwargs = ({} if lane == 'bf16' else
+              {'quantized': 'ff_sb' if lane == 'int8-sb' else 'ff'})
     model = create_model('vit_b_patch16', num_classes=1000,
                          dtype=jnp.bfloat16, **kwargs)
     s = _bench(model, batch_size, img)

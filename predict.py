@@ -61,7 +61,8 @@ def _list_images(pattern: str):
               help='use the EMA params when the checkpoint carries them')
 @click.option('--class_names', type=str, default=None,
               help='optional text file, one class name per line')
-@click.option('--quantized', type=click.Choice(['none', 'int8', 'ff']),
+@click.option('--quantized',
+              type=click.Choice(['none', 'int8', 'ff', 'all']),
               default='none',
               help="int8 serving: 'ff' runs each FF sublayer as one int8 "
                    "Pallas kernel — measured 1.23x bf16 inference "

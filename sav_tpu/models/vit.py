@@ -89,15 +89,19 @@ class EncoderBlock(nn.Module):
                                        x, is_training=is_training)
             x = x + inputs
 
-        if (self.quantized == 'ff' and not self.dropout_rate
+        if (self.quantized in ('ff', 'ff_sb', 'all') and not self.dropout_rate
                 and self.activation_fn is nn.activation.gelu):
             # one custom_vjp for LN -> int8 FF -> residual: the bare
             # int8 kernel under its own boundary measured a LOSS end to
             # end (LN_1 un-fused from W1); the sublayer span wins — see
-            # sav_tpu/ops/int8_ff.py integration receipt
+            # sav_tpu/ops/int8_ff.py integration receipt. 'ff_sb' swaps
+            # in the SwitchBack backward (dx GEMMs int8 in one kernel).
             from sav_tpu.ops import fused_layer, int8_ff
             s2, b2, w1, bb1, w2, bb2 = self._ff_sublayer_params(x)
-            return int8_ff.int8_ff_sublayer(
+            sublayer = (int8_ff.int8_ff_sublayer_sb
+                        if self.quantized == 'ff_sb'
+                        else int8_ff.int8_ff_sublayer)
+            return sublayer(
                 x.astype(self.dtype), s2, b2, w1, bb1, w2, bb2,
                 fused_layer.LN_EPS)
 
@@ -160,6 +164,12 @@ class EncoderBlock(nn.Module):
             in_ch=dim, num_heads=self.num_heads,
             head_ch=dim // self.num_heads,
             name='SelfAttentionBlock_0')()
+        if self.quantized == 'all' and not self.rotary:
+            # serving-only: int8 q/k/v/out projections inside the fused
+            # forward (falls back to the bf16 'flash' span off-geometry)
+            return fused_layer.attention_sublayer_q8(
+                inputs.astype(self.dtype), scale, bias, wq, wk, wv, wo,
+                self.num_heads, fused_layer.LN_EPS, True)
         if (core == 'fused' and not fused_layer.fused_supported(
                 inputs.shape[-2], self.num_heads, dim // self.num_heads)):
             core = 'flash'

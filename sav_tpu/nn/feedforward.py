@@ -43,7 +43,7 @@ class FFBlock(nn.Module):
     def __call__(self, inputs, is_training: bool):
         in_ch = inputs.shape[-1]
         hidden_ch = _hidden_width(in_ch, self.expand_ratio, self.hidden_ch)
-        if self.quantized == 'ff':
+        if self.quantized in ('ff', 'ff_sb'):
             from sav_tpu.ops.int8_ff import int8_ff
             if self.dropout_rate:
                 raise ValueError(
@@ -55,7 +55,8 @@ class FFBlock(nn.Module):
             w1, b1 = _DenseParams(in_ch, hidden_ch, name='Dense_0')()
             w2, b2 = _DenseParams(hidden_ch, in_ch, name='Dense_1')()
             return int8_ff(inputs.astype(self.dtype), w1.astype(self.dtype),
-                           b1, w2.astype(self.dtype), b2)
+                           b1, w2.astype(self.dtype), b2,
+                           switchback=self.quantized == 'ff_sb')
         if self.quantized:
             from sav_tpu.nn.quantized_dense import QuantizedDense
 

@@ -125,9 +125,12 @@ def fused_supported(l: int, num_heads: int, head_d: int) -> bool:
 # --------------------------------------------------- fused forward kernel
 
 def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
-                      wo_ref, out_ref, q_ref, k_ref, v_ref, attn_ref,
-                      lse_ref, *, l: int, heads: int, d: int, eps: float,
-                      residual: bool, pre_ln: bool = True):
+                      wo_ref, out_ref, *res_refs, l: int, heads: int,
+                      d: int, eps: float, residual: bool,
+                      pre_ln: bool = True):
+    save_res = bool(res_refs)
+    if save_res:
+        q_ref, k_ref, v_ref, attn_ref, lse_ref = res_refs
     xf = x_ref[0].astype(jnp.float32)                    # [Lpad, D]
     if pre_ln:
         mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -139,13 +142,15 @@ def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
         y = x_ref[0]
 
     sc = 1.0 / (d ** 0.5)
-    q = (fa._matmul(y, wq_ref[...]) * sc).astype(q_ref.dtype)
-    k = fa._matmul(y, wk_ref[...]).astype(k_ref.dtype)
-    v = fa._matmul(y, wv_ref[...]).astype(v_ref.dtype)
-    q_ref[0] = q
-    k_ref[0] = k
-    v_ref[0] = v
+    q = (fa._matmul(y, wq_ref[...]) * sc).astype(x_ref.dtype)
+    k = fa._matmul(y, wk_ref[...]).astype(x_ref.dtype)
+    v = fa._matmul(y, wv_ref[...]).astype(x_ref.dtype)
+    if save_res:
+        q_ref[0] = q
+        k_ref[0] = k
+        v_ref[0] = v
 
+    attn_bands = []
     for h in range(heads):
         qh = q[:, h * d:(h + 1) * d]
         kh = k[:, h * d:(h + 1) * d]
@@ -157,21 +162,31 @@ def _fused_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         lsum = jnp.sum(p, axis=1, keepdims=True)
-        attn_ref[0, :, h * d:(h + 1) * d] = (
-            fa._matmul(p.astype(vh.dtype), vh[:l]) / lsum
-        ).astype(attn_ref.dtype)
-        lse_ref[0, h] = jnp.broadcast_to(m + jnp.log(lsum),
-                                         lse_ref.shape[2:])
+        band = (fa._matmul(p.astype(vh.dtype), vh[:l]) / lsum
+                ).astype(x_ref.dtype)
+        if save_res:
+            attn_ref[0, :, h * d:(h + 1) * d] = band.astype(attn_ref.dtype)
+            lse_ref[0, h] = jnp.broadcast_to(m + jnp.log(lsum),
+                                             lse_ref.shape[2:])
+        else:
+            attn_bands.append(band)
 
-    out = fa._matmul(attn_ref[0].astype(x_ref.dtype), wo_ref[...])
+    attn = (attn_ref[0].astype(x_ref.dtype) if save_res
+            else jnp.concatenate(attn_bands, axis=1))
+    out = fa._matmul(attn, wo_ref[...])
     if residual:
         out = xf + out
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
-               residual, pre_ln=True):
-    """One-kernel forward. Returns (out, (qp, kp, vp, attn_p, lse))."""
+               residual, pre_ln=True, save_residuals=True):
+    """One-kernel forward. Returns (out, (qp, kp, vp, attn_p, lse)).
+
+    ``save_residuals=False`` (the non-differentiated primal: inference
+    and eval) skips the five backward-residual outputs — q/k/v/attn/lse
+    never leave VMEM, deleting 4x [B, Lpad, H*d] + lse of HBM stores per
+    layer. Arithmetic is identical; returns (out, None)."""
     b, l, dim = x.shape
     hd = num_heads * head_d
     cdt = x.dtype
@@ -207,33 +222,40 @@ def _fused_fwd(x, scale, bias, wq, wk, wv, wo, num_heads, head_d, eps,
                             lambda bi: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    out, qp, kp, vp, attn_p, lse = pl.pallas_call(
-        functools.partial(_fused_fwd_kernel, l=l, heads=num_heads,
-                          d=head_d, eps=eps, residual=residual,
-                          pre_ln=pre_ln),
-        grid=(b,),
-        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
-                  w_in_spec, w_out_spec],
-        out_specs=[x_spec, hd_spec, hd_spec, hd_spec, hd_spec, lse_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, l_pad, dim), cdt),
+    out_specs = [x_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, l_pad, dim), cdt)]
+    if save_residuals:
+        out_specs += [hd_spec, hd_spec, hd_spec, hd_spec, lse_spec]
+        out_shape += [
             jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
             jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
             jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
             jax.ShapeDtypeStruct((b, l_pad, hd), cdt),
             jax.ShapeDtypeStruct((b, num_heads, l_pad, fa.STAT_LANES),
                                  jnp.float32),
-        ],
+        ]
+    outs = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, l=l, heads=num_heads,
+                          d=head_d, eps=eps, residual=residual,
+                          pre_ln=pre_ln),
+        grid=(b,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
+                  w_in_spec, w_out_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=fa._interpret(),
         **fa._cparams(num_heads, l_pad, l_pad),
     )(x_p, row(scale), row(bias), wq_f, wk_f, wv_f, wo_f)
+    if not save_residuals:
+        return outs[0][:, :l], None
+    out, qp, kp, vp, attn_p, lse = outs
     return out[:, :l], (qp, kp, vp, attn_p, lse, l_pad, l_pad)
 
 
 # ------------------------------------------------------------- custom_vjp
 
 def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
-             residual, rotary=False, pre_ln=True):
+             residual, rotary=False, pre_ln=True, save_residuals=True):
     b, l, dim = x.shape
     head_d = wq.shape[2]
     hd = num_heads * head_d
@@ -244,7 +266,7 @@ def _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
     if core == 'fused':
         out, residual_core = _fused_fwd(x, scale, bias, wq, wk, wv, wo,
                                         num_heads, head_d, eps, residual,
-                                        pre_ln)
+                                        pre_ln, save_residuals)
         return out, residual_core
 
     y = x if not pre_ln else _layernorm(x, scale, bias, eps)[0]
@@ -298,8 +320,10 @@ def attention_sublayer(x, scale, bias, wq, wk, wv, wo, num_heads,
         projection (ViT ``pos_embed='rotary'``); the rotation also runs
         inside the boundary.
     """
+    # primal (non-differentiated) call: inference and eval never need the
+    # backward residuals, so the fused kernel skips their HBM stores
     out, _ = _forward(x, scale, bias, wq, wk, wv, wo, num_heads, core, eps,
-                      residual, rotary)
+                      residual, rotary, save_residuals=False)
     return out
 
 
@@ -421,7 +445,7 @@ def attention_sublayer_noln(x, wq, wk, wv, wo, num_heads, core='flash',
     :func:`attention_sublayer`.
     """
     out, _ = _forward(x, None, None, wq, wk, wv, wo, num_heads, core,
-                      LN_EPS, residual, pre_ln=False)
+                      LN_EPS, residual, pre_ln=False, save_residuals=False)
     return out
 
 
@@ -665,7 +689,7 @@ def encoder_layer(x, scale1, bias1, wq, wk, wv, wo, scale2, bias2, w1, b1,
     as in :func:`attention_sublayer`.
     """
     a, _ = _forward(x, scale1, bias1, wq, wk, wv, wo, num_heads, core, eps,
-                    True)
+                    True, save_residuals=False)
     return _ff_forward(a, scale2, bias2, w1, b1, w2, b2, eps)
 
 
@@ -714,3 +738,120 @@ def _encoder_bwd(num_heads, core, eps, saved, g):
 
 
 encoder_layer.defvjp(_encoder_fwd, _encoder_bwd)
+
+
+# ------------------- int8 serving forward: projections quantized in-kernel
+#
+# Inference-only extension of the lean primal above: the four projection
+# GEMMs (q/k/v/out — ~31% of a ViT-B layer's forward FLOPs) run int8 with
+# int32 MXU accumulation, per-row activation scales computed in VMEM and
+# per-column weight scales computed once outside. The attention core
+# (logits/softmax/PV) stays bf16/f32 — its FLOPs are small and its
+# numerics matter. No custom_vjp: this path is for serving
+# (predict.py --quantized all); differentiating through it fails loudly.
+
+
+def _fused_infer_q8_kernel(x_ref, scale_ref, bias_ref, wq_ref, sq_ref,
+                           wk_ref, sk_ref, wv_ref, sv_ref, wo_ref, so_ref,
+                           out_ref, *, l: int, heads: int, d: int,
+                           eps: float, residual: bool):
+    from sav_tpu.ops.int8_matmul_kernel import _quantize_tile
+
+    xf = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * scale_ref[0] + bias_ref[0]
+
+    yq, ys = _quantize_tile(y)      # ONE row quantization feeds q, k, v
+    cdt = x_ref.dtype
+
+    def proj(w_ref, s_ref):
+        acc = jax.lax.dot_general(yq, w_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (ys * s_ref[...])
+
+    sc = 1.0 / (d ** 0.5)
+    q = (proj(wq_ref, sq_ref) * sc).astype(cdt)
+    k = proj(wk_ref, sk_ref).astype(cdt)
+    v = proj(wv_ref, sv_ref).astype(cdt)
+
+    attn_bands = []
+    for h in range(heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = k[:, h * d:(h + 1) * d]
+        vh = v[:, h * d:(h + 1) * d]
+        s = fa._qk(qh, kh)[:, :l]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        lsum = jnp.sum(p, axis=1, keepdims=True)
+        attn_bands.append((fa._matmul(p.astype(vh.dtype), vh[:l]) / lsum
+                           ).astype(cdt))
+
+    aq, a_s = _quantize_tile(jnp.concatenate(attn_bands, axis=1))
+    acc = jax.lax.dot_general(aq, wo_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (a_s * so_ref[...])
+    if residual:
+        out = xf + out
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _q8_weights(wq, wk, wv, wo, dim, hd):
+    from sav_tpu.ops.quantized import quantize_symmetric
+    qs = [quantize_symmetric(w.reshape(dim, hd).astype(jnp.float32),
+                             axis=0) for w in (wq, wk, wv)]
+    oq, so = quantize_symmetric(wo.reshape(hd, dim).astype(jnp.float32),
+                                axis=0)
+    return qs + [(oq, so)]
+
+
+def attention_sublayer_q8(x, scale, bias, wq, wk, wv, wo, num_heads,
+                          eps=LN_EPS, residual=True):
+    """Serving-only ``x + W_o @ MHA(LN(x))`` with int8 projections.
+
+    Same signature/param layout as :func:`attention_sublayer` (minus the
+    core choice). Falls back to the bf16 primal when the fused-kernel
+    geometry is unsupported. Not differentiable by design.
+    """
+    b, l, dim = x.shape
+    head_d = wq.shape[2]
+    if not fused_supported(l, num_heads, head_d):
+        return attention_sublayer(x, scale, bias, wq, wk, wv, wo,
+                                  num_heads, core='flash', eps=eps,
+                                  residual=residual)
+    hd = num_heads * head_d
+    cdt = x.dtype
+    block_q, _ = fa._block_sizes(l, l, num_heads, head_d)
+    l_pad = max(fa._round_up(l, block_q), 64)
+    x_p = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0))) if l_pad != l else x
+
+    (wq_q, sq), (wk_q, sk), (wv_q, sv), (wo_q, so) = _q8_weights(
+        wq, wk, wv, wo, dim, hd)
+    row = lambda a: a.astype(jnp.float32).reshape(1, dim)
+
+    x_spec = pl.BlockSpec((1, l_pad, dim), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, dim), lambda bi: (0, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((dim, hd), lambda bi: (0, 0),
+                             memory_space=pltpu.VMEM)
+    s_in_spec = pl.BlockSpec((1, hd), lambda bi: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_out_spec = pl.BlockSpec((hd, dim), lambda bi: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_infer_q8_kernel, l=l, heads=num_heads,
+                          d=head_d, eps=eps, residual=residual),
+        grid=(b,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, s_in_spec,
+                  w_in_spec, s_in_spec, w_in_spec, s_in_spec,
+                  w_out_spec, vec_spec],
+        out_specs=[x_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, l_pad, dim), cdt)],
+        interpret=fa._interpret(),
+        **fa._cparams(num_heads, l_pad, l_pad),
+    )(x_p, row(scale), row(bias), wq_q, sq, wk_q, sk, wv_q, sv, wo_q,
+      row(so.reshape(-1)))
+    return out[0][:, :l]

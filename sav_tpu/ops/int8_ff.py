@@ -186,10 +186,13 @@ def _ff_bwd(residuals, g):
 _int8_ff_core.defvjp(_ff_fwd, _ff_bwd)
 
 
-def int8_ff(x, w1, b1, w2, b2):
-    """Quantized FF sublayer body; x [..., D] -> [..., D]."""
+def int8_ff(x, w1, b1, w2, b2, switchback: bool = False):
+    """Quantized FF sublayer body; x [..., D] -> [..., D]. ``switchback``
+    swaps the straight-through QAT backward for the SwitchBack one (dx
+    GEMMs int8, dW GEMMs high precision)."""
     flat = x.reshape(-1, x.shape[-1])
-    out = _int8_ff_core(flat, w1, b1, w2, b2)
+    core = _int8_ff_core_sb if switchback else _int8_ff_core
+    out = core(flat, w1, b1, w2, b2)
     return out.reshape(*x.shape[:-1], w2.shape[-1])
 
 
@@ -345,3 +348,192 @@ def _sublayer_bwd(eps, saved, g):
 
 
 int8_ff_sublayer.defvjp(_sublayer_fwd, _sublayer_bwd)
+
+
+# ------------------------- SwitchBack backward (int8 dx GEMMs, one kernel)
+#
+# The QAT backward above is pure bf16 XLA — int8 touches only ~20% of the
+# FF's train-step GEMM FLOPs, which is why `--quantized ff` measured a
+# LOSS end to end despite the forward kernel's isolated win. SwitchBack
+# (Wortsman et al., arXiv:2304.13013) quantizes the activation-gradient
+# GEMMs too while keeping the weight-gradient GEMMs in high precision
+# (per-row grad quantization is exact enough for dx, but dW contracts the
+# batch axis where int8 rounding would bias the update). This kernel runs
+# BOTH dx GEMMs int8 back-to-back with the gelu-vjp fused between them:
+#   dgact = q(g) @ q(W2^T)   [int32 MXU]
+#   dh    = gelu'(hpre) * dgact            (stored bf16, feeds dW1/db1)
+#   dy2   = q(dh) @ q(W1^T)  [int32 MXU]
+# so the [M, 4D] dgact transient never reaches HBM and 4 of the 6
+# sublayer GEMMs are int8. Weight-grad GEMMs and LN backward stay XLA.
+
+
+def _dx_quantized(w):
+    """Quantize ``w [in, out]`` for its dx GEMM ``g @ w^T``: contraction
+    runs over the OUT axis, so scales are per IN row; returned transposed
+    as the kernel's [out, in] right-hand operand with scales [1, in]."""
+    wq, s = quantize_symmetric(w.astype(jnp.float32), axis=1)
+    return wq.T, s.reshape(1, -1)
+
+
+def _ff_dx_kernel(g_ref, hpre_ref, w2t_ref, s2t_ref, w1t_ref, s1t_ref,
+                  dy2_ref, dh_ref):
+    gq, gs = _quantize_tile(g_ref[...])
+    da = jax.lax.dot_general(gq, w2t_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dgact = da.astype(jnp.float32) * (gs * s2t_ref[...])
+    hpre = hpre_ref[...].astype(jnp.float32)
+    _, gelu_vjp = jax.vjp(jax.nn.gelu, hpre)
+    dh = gelu_vjp(dgact)[0]
+    dh_ref[...] = dh.astype(dh_ref.dtype)
+    dhq, dhs = _quantize_tile(dh)
+    dy = jax.lax.dot_general(dhq, w1t_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dy2_ref[...] = (dy.astype(jnp.float32)
+                    * (dhs * s1t_ref[...])).astype(dy2_ref.dtype)
+
+
+def int8_ff_dx_raw(g, hpre, w1t_q, s1t, w2t_q, s2t, *,
+                   block_m: int = BLOCK_M):
+    """dx path of the FF backward, both GEMMs int8 in one kernel.
+
+    g [M, D] output cotangent; hpre [M, F] stored pre-activation;
+    w2t_q [D, F] / w1t_q [F, D] from ``_dx_quantized``. Returns
+    (dy2 [M, D] in g.dtype, dh [M, F] bf16).
+    """
+    m, d = g.shape
+    f = hpre.shape[1]
+    assert w2t_q.shape == (d, f) and w1t_q.shape == (f, d)
+    assert s2t.shape == (1, f) and s1t.shape == (1, d)
+    # padding hpre costs a [M, F] HBM copy per layer (232 MB at ViT-B
+    # @224 bs192 — enough to OOM the chip inside the train scan); prefer
+    # a block size that divides M exactly and pad only as a last resort
+    if m % block_m:
+        block_m = next((bm for bm in (256, 224, 192, 160, 128, 96, 64,
+                                      32, 16, 8) if m % bm == 0), block_m)
+    mp = _round_up(m, block_m)
+    g_p = jnp.pad(g, ((0, mp - m), (0, 0))) if mp != m else g
+    h_p = jnp.pad(hpre, ((0, mp - m), (0, 0))) if mp != m else hpre
+
+    row = lambda i: (i, 0)
+    fixed = lambda i: (0, 0)
+    dy2, dh = pl.pallas_call(
+        _ff_dx_kernel,
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, f), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, f), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, d), g.dtype),
+            jax.ShapeDtypeStruct((mp, f), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=_interpret(),
+    )(g_p, h_p, w2t_q, s2t, w1t_q, s1t)
+    return dy2[:m], dh[:m]
+
+
+def int8_ff_dx_reference(g, hpre, w1t_q, s1t, w2t_q, s2t):
+    """jnp twin of ``_ff_dx_kernel`` (per-row quantization is row-local,
+    so no block split is needed to match the kernel bit-for-bit)."""
+    gq, gs = _quantize_tile(g)
+    da = jax.lax.dot_general(gq, w2t_q, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dgact = da.astype(jnp.float32) * (gs * s2t)
+    hpre = hpre.astype(jnp.float32)
+    _, gelu_vjp = jax.vjp(jax.nn.gelu, hpre)
+    dh = gelu_vjp(dgact)[0]
+    dhq, dhs = _quantize_tile(dh)
+    dy = jax.lax.dot_general(dhq, w1t_q, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dy2 = (dy.astype(jnp.float32) * (dhs * s1t)).astype(g.dtype)
+    return dy2, dh.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def int8_ff_sublayer_sb(x, scale, bias, w1, b1, w2, b2, eps=1e-6):
+    """``int8_ff_sublayer`` with the SwitchBack backward: same int8
+    forward kernel, dx GEMMs int8 (``int8_ff_dx_raw``), dW GEMMs bf16."""
+    w1_q, s1, w2_q, s2 = _quantized_weights(w1, w2)
+    flat = x.reshape(-1, x.shape[-1])
+    out = int8_ff_ln_raw(flat, scale, bias, w1_q, s1, b1, w2_q, s2, b2,
+                         eps=eps)
+    return out.reshape(x.shape)
+
+
+def _sublayer_sb_fwd(x, scale, bias, w1, b1, w2, b2, eps):
+    return _sublayer_fwd(x, scale, bias, w1, b1, w2, b2, eps)
+
+
+def _sublayer_sb_bwd(eps, saved, g):
+    from sav_tpu.ops.fused_layer import _layernorm
+
+    x, scale, bias, w1, b1, w2, b2, hpre = saved
+    cdt = x.dtype
+    shape3 = x.shape
+    xf = x.reshape(-1, shape3[-1])
+    gf = g.reshape(-1, shape3[-1]).astype(cdt)
+    y2, xhat, inv = _layernorm(xf, scale, bias, eps)
+
+    w1t_q, s1t = _dx_quantized(w1)
+    w2t_q, s2t = _dx_quantized(w2)
+    dy2, dh = int8_ff_dx_raw(gf, hpre, w1t_q, s1t, w2t_q, s2t)
+
+    dh_c = dh.astype(cdt)
+    dw1 = jax.lax.dot_general(y2, dh_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh_c, axis=0, dtype=jnp.float32)
+    gact = jax.nn.gelu(hpre.astype(cdt))   # fuses into the dW2 GEMM read
+    dw2 = jax.lax.dot_general(gact, gf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(gf, axis=0, dtype=jnp.float32)
+
+    dx_ln, dscale, dbias = _layernorm_bwd_flat(dy2, xhat, inv, scale)
+    dx = (dx_ln + gf.astype(jnp.float32)).astype(cdt)
+    return (dx.reshape(shape3), dscale.astype(scale.dtype),
+            dbias.astype(bias.dtype), dw1.astype(w1.dtype),
+            db1.astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.astype(b2.dtype))
+
+
+int8_ff_sublayer_sb.defvjp(_sublayer_sb_fwd, _sublayer_sb_bwd)
+
+
+@jax.custom_vjp
+def _int8_ff_core_sb(x, w1, b1, w2, b2):
+    w1_q, s1, w2_q, s2 = _quantized_weights(w1, w2)
+    return int8_ff_raw(x, w1_q, s1, b1, w2_q, s2, b2)
+
+
+def _ff_sb_bwd(residuals, g):
+    # SwitchBack backward of the bare (no-LN) core: dx GEMMs int8 via the
+    # fused dx kernel, dW GEMMs high-precision XLA
+    x, w1, b1, w2, b2, hpre = residuals
+    cdt = x.dtype
+    gf = g.astype(cdt)
+    w1t_q, s1t = _dx_quantized(w1)
+    w2t_q, s2t = _dx_quantized(w2)
+    dx, dh = int8_ff_dx_raw(gf, hpre, w1t_q, s1t, w2t_q, s2t)
+    dh_c = dh.astype(cdt)
+    dw1 = jax.lax.dot_general(x.astype(cdt), dh_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh_c, axis=0, dtype=jnp.float32)
+    gact = jax.nn.gelu(hpre.astype(cdt))
+    dw2 = jax.lax.dot_general(gact, gf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(gf, axis=0, dtype=jnp.float32)
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
+_int8_ff_core_sb.defvjp(_ff_fwd, _ff_sb_bwd)

@@ -126,10 +126,12 @@ def _dm_tile(scalars, heads):
 # ------------------------------------------------------------ forward
 
 def _th_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
-                   wo_ref, mpre_ref, mpost_ref,
-                   out_ref, q_ref, k_ref, v_ref, attn_ref, lse_ref,
-                   *, l: int, heads: int, dp: int, d_logical: int,
+                   wo_ref, mpre_ref, mpost_ref, out_ref, *res_refs,
+                   l: int, heads: int, dp: int, d_logical: int,
                    eps: float, residual: bool):
+    save_res = bool(res_refs)
+    if save_res:
+        q_ref, k_ref, v_ref, attn_ref, lse_ref = res_refs
     xf = x_ref[0].astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -138,12 +140,13 @@ def _th_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
     y = (xhat * scale_ref[0] + bias_ref[0]).astype(x_ref.dtype)
 
     sc = 1.0 / (d_logical ** 0.5)
-    q = (fa._matmul(y, wq_ref[...]) * sc).astype(q_ref.dtype)
-    k = fa._matmul(y, wk_ref[...]).astype(k_ref.dtype)
-    v = fa._matmul(y, wv_ref[...]).astype(v_ref.dtype)
-    q_ref[0] = q
-    k_ref[0] = k
-    v_ref[0] = v
+    q = (fa._matmul(y, wq_ref[...]) * sc).astype(x_ref.dtype)
+    k = fa._matmul(y, wk_ref[...]).astype(x_ref.dtype)
+    v = fa._matmul(y, wv_ref[...]).astype(x_ref.dtype)
+    if save_res:
+        q_ref[0] = q
+        k_ref[0] = k
+        v_ref[0] = v
 
     band = lambda a, h: a[:, h * dp:(h + 1) * dp]
     s = [fa._qk(band(q, h), band(k, h))[:, :l] for h in range(heads)]
@@ -155,23 +158,36 @@ def _th_fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, wk_ref, wv_ref,
         p = jnp.exp(st[i] - m)
         lsum = jnp.sum(p, axis=1, keepdims=True)
         pn.append(p / lsum)
-        lse_ref[0, i] = jnp.broadcast_to(m + jnp.log(lsum),
-                                         lse_ref.shape[2:])
+        if save_res:
+            lse_ref[0, i] = jnp.broadcast_to(m + jnp.log(lsum),
+                                             lse_ref.shape[2:])
 
+    attn_bands = []
     for i in range(heads):
         pt = _mix_rows(mpost_ref, pn, i)
-        attn_ref[0, :, i * dp:(i + 1) * dp] = fa._matmul(
-            pt.astype(v.dtype), band(v, i)[:l]).astype(attn_ref.dtype)
+        band_i = fa._matmul(pt.astype(v.dtype),
+                            band(v, i)[:l]).astype(x_ref.dtype)
+        if save_res:
+            attn_ref[0, :, i * dp:(i + 1) * dp] = band_i.astype(
+                attn_ref.dtype)
+        else:
+            attn_bands.append(band_i)
 
-    out = fa._matmul(attn_ref[0].astype(x_ref.dtype), wo_ref[...])
+    attn = (attn_ref[0].astype(x_ref.dtype) if save_res
+            else jnp.concatenate(attn_bands, axis=1))
+    out = fa._matmul(attn, wo_ref[...])
     if residual:
         out = xf + out
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre, m_post,
-                  heads, dp, d_logical, eps, residual):
-    """x [B, L, D] (padded weights, flat [D, H*dp] / [H*dp, D] layout)."""
+                  heads, dp, d_logical, eps, residual,
+                  save_residuals=True):
+    """x [B, L, D] (padded weights, flat [D, H*dp] / [H*dp, D] layout).
+
+    ``save_residuals=False`` (non-differentiated primal: inference/eval)
+    skips the five backward-residual HBM stores; returns (out, None)."""
     b, l, dim = x.shape
     hd = heads * dp
     cdt = x.dtype
@@ -194,24 +210,31 @@ def _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre, m_post,
                             lambda bi: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    out, qp, kp, vp, attn_p, lse = pl.pallas_call(
-        functools.partial(_th_fwd_kernel, l=l, heads=heads, dp=dp,
-                          d_logical=d_logical, eps=eps, residual=residual),
-        grid=(b,),
-        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
-                  w_in_spec, w_out_spec, m_spec, m_spec],
-        out_specs=[x_spec, hd_spec, hd_spec, hd_spec, hd_spec, lse_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, lp, dim), cdt),
+    out_specs = [x_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, lp, dim), cdt)]
+    if save_residuals:
+        out_specs += [hd_spec, hd_spec, hd_spec, hd_spec, lse_spec]
+        out_shape += [
             jax.ShapeDtypeStruct((b, lp, hd), cdt),
             jax.ShapeDtypeStruct((b, lp, hd), cdt),
             jax.ShapeDtypeStruct((b, lp, hd), cdt),
             jax.ShapeDtypeStruct((b, lp, hd), cdt),
             jax.ShapeDtypeStruct((b, heads, lp, STAT_LANES), jnp.float32),
-        ],
+        ]
+    outs = pl.pallas_call(
+        functools.partial(_th_fwd_kernel, l=l, heads=heads, dp=dp,
+                          d_logical=d_logical, eps=eps, residual=residual),
+        grid=(b,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, w_in_spec,
+                  w_in_spec, w_out_spec, m_spec, m_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=fa._interpret(),
     )(x_p, row(scale), row(bias), wq_f, wk_f, wv_f, wo_f,
       m_pre.astype(jnp.float32), m_post.astype(jnp.float32))
+    if not save_residuals:
+        return outs[0][:, :l], None
+    out, qp, kp, vp, attn_p, lse = outs
     return out[:, :l], (qp, kp, vp, attn_p, lse)
 
 
@@ -537,13 +560,14 @@ def th_attention_sublayer(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
     Checkpoint layout matches AttentionBlock with talking_heads=True
     (reference attention.py:29-63 + talking_heads.py:5-14).
     """
+    # primal (non-differentiated) call: skip the backward-residual stores
     out, _ = _th_forward(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
-                         num_heads, eps, residual)
+                         num_heads, eps, residual, save_residuals=False)
     return out
 
 
 def _th_forward(x, scale, bias, wq, wk, wv, wo, m_pre, m_post, num_heads,
-                eps, residual):
+                eps, residual, save_residuals=True):
     d_logical = wq.shape[2]
     dp = fa._round_up(d_logical, BAND)
     wq_f, wk_f, wv_f, wo_f = _pad_weights(wq, wk, wv, wo, num_heads,
@@ -551,7 +575,7 @@ def _th_forward(x, scale, bias, wq, wk, wv, wo, m_pre, m_post, num_heads,
     if th_supported(x.shape[1], num_heads, d_logical):
         return _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f,
                              m_pre, m_post, num_heads, dp, d_logical, eps,
-                             residual)
+                             residual, save_residuals)
     return _th_blocked_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre,
                            m_post, num_heads, dp, d_logical, eps, residual)
 

@@ -165,3 +165,165 @@ def test_batched_shape_roundtrip():
     x3 = x.reshape(2, 35, D)
     out = int8_ff.int8_ff(x3, w1, b1, w2, b2)
     assert out.shape == (2, 35, D)
+
+
+def test_dx_kernel_matches_jnp_twin():
+    """SwitchBack dx kernel == its jnp twin bit-for-bit (interpret mode)."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    g = jax.random.normal(ks[0], (M, D), jnp.float32) * 0.01
+    hpre = jax.random.normal(ks[1], (M, F), jnp.float32)
+    w1 = jax.random.normal(ks[2], (D, F), jnp.float32) / np.sqrt(D)
+    w2 = jax.random.normal(ks[3], (F, D), jnp.float32) / np.sqrt(F)
+    w1t_q, s1t = int8_ff._dx_quantized(w1)
+    w2t_q, s2t = int8_ff._dx_quantized(w2)
+    dy2, dh = int8_ff.int8_ff_dx_raw(g, hpre.astype(jnp.bfloat16),
+                                     w1t_q, s1t, w2t_q, s2t, block_m=32)
+    dy2_w, dh_w = int8_ff.int8_ff_dx_reference(
+        g, hpre.astype(jnp.bfloat16), w1t_q, s1t, w2t_q, s2t)
+    np.testing.assert_allclose(np.asarray(dy2), np.asarray(dy2_w),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dh, np.float32),
+                               np.asarray(dh_w, np.float32),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_switchback_backward_close_to_unquantized_grads():
+    """SwitchBack grads stay directionally faithful to the bf16 FF's
+    (dx path int8-quantized; dW path exact given the quantized dh)."""
+    x, w1, b1, w2, b2 = _params()
+
+    def loss_sb(args):
+        return jnp.sum(jnp.square(int8_ff.int8_ff(*args, switchback=True)))
+
+    def loss_ref(args):
+        x, w1, b1, w2, b2 = args
+        return jnp.sum(jnp.square(jax.nn.gelu(x @ w1 + b1) @ w2 + b2))
+
+    gq = jax.grad(loss_sb)((x, w1, b1, w2, b2))
+    gr = jax.grad(loss_ref)((x, w1, b1, w2, b2))
+    for a, b in zip(gq, gr):
+        assert a.shape == b.shape
+        assert np.all(np.isfinite(np.asarray(a)))
+        cos = (np.vdot(np.asarray(a, np.float64), np.asarray(b, np.float64))
+               / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.97, cos
+
+
+def test_sb_sublayer_forward_matches_ff_sublayer_and_grads():
+    """int8_ff_sublayer_sb: identical forward to int8_ff_sublayer (same
+    kernel), SwitchBack grads directionally matching the unquantized
+    span's."""
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    x = jax.random.normal(ks[0], (2, 35, D), jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    bias = 0.1 * jax.random.normal(ks[2], (D,))
+    w1 = jax.random.normal(ks[3], (D, F), jnp.float32) / np.sqrt(D)
+    b1 = 0.1 * jax.random.normal(ks[4], (F,))
+    w2 = jax.random.normal(ks[5], (F, D), jnp.float32) / np.sqrt(F)
+    b2 = jnp.zeros((D,))
+    args = (x, scale, bias, w1, b1, w2, b2)
+
+    got = np.asarray(int8_ff.int8_ff_sublayer_sb(*args))
+    want = np.asarray(int8_ff.int8_ff_sublayer(*args))
+    np.testing.assert_array_equal(got, want)
+
+    def unfused(x, scale, bias, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mu * mu, 0.0)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+        return x + jax.nn.gelu(y @ w1 + b1) @ w2 + b2
+
+    gq = jax.grad(lambda *a: jnp.sum(jnp.square(
+        int8_ff.int8_ff_sublayer_sb(*a))), argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.square(unfused(*a))),
+                  argnums=tuple(range(7)))(*args)
+    for a, b in zip(gq, gr):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        cos = np.vdot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)
+                               + 1e-12)
+        assert cos > 0.97, cos
+
+
+def test_encoder_block_ff_sb_param_tree_and_train_step():
+    """EncoderBlock(quantized='ff_sb'): same param tree as the plain
+    block; one SGD step on a toy loss moves every leaf finitely."""
+    from sav_tpu.models.vit import EncoderBlock
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64), jnp.float32)
+    base = EncoderBlock(num_heads=4, use_kernel=False)
+    sb = EncoderBlock(num_heads=4, use_kernel=False, quantized='ff_sb')
+    v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v2 = sb.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda t: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert paths(v) == paths(v2)
+    g = jax.grad(lambda v: jnp.sum(jnp.square(
+        sb.apply(v, x, is_training=True))))(v)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_attention_sublayer_q8_close_to_bf16():
+    """Serving q8 span: int8 projections stay within int8 noise of the
+    bf16 fused sublayer; param layout identical (same weight args)."""
+    from sav_tpu.ops import fused_layer
+    H, d = 4, 64
+    dim = H * d
+    ks = jax.random.split(jax.random.PRNGKey(5), 7)
+    x = jax.random.normal(ks[0], (2, 64, dim), jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(ks[1], (dim,))
+    bias = 0.1 * jax.random.normal(ks[2], (dim,))
+    wq = jax.random.normal(ks[3], (dim, H, d)) / np.sqrt(dim)
+    wk = jax.random.normal(ks[4], (dim, H, d)) / np.sqrt(dim)
+    wv = jax.random.normal(ks[5], (dim, H, d)) / np.sqrt(dim)
+    wo = jax.random.normal(ks[6], (H, d, dim)) / np.sqrt(dim)
+
+    got = np.asarray(fused_layer.attention_sublayer_q8(
+        x, scale, bias, wq, wk, wv, wo, H))
+    want = np.asarray(fused_layer.attention_sublayer(
+        x, scale, bias, wq, wk, wv, wo, H, core='fused'))
+    rms = np.sqrt(np.mean(np.square(want)))
+    assert np.sqrt(np.mean(np.square(got - want))) / rms < 0.02, \
+        np.sqrt(np.mean(np.square(got - want))) / rms
+
+
+def test_attention_sublayer_q8_fallback_off_geometry():
+    """Unsupported geometry (head_d not 64-aligned) falls back to the
+    bf16 flash span exactly."""
+    from sav_tpu.ops import fused_layer
+    H, d = 2, 32          # d % 64 != 0 -> not fused_supported
+    dim = H * d
+    ks = jax.random.split(jax.random.PRNGKey(6), 5)
+    x = jax.random.normal(ks[0], (1, 16, dim), jnp.float32)
+    wq = jax.random.normal(ks[1], (dim, H, d)) / np.sqrt(dim)
+    wk = jax.random.normal(ks[2], (dim, H, d)) / np.sqrt(dim)
+    wv = jax.random.normal(ks[3], (dim, H, d)) / np.sqrt(dim)
+    wo = jax.random.normal(ks[4], (H, d, dim)) / np.sqrt(dim)
+    one, zero = jnp.ones((dim,)), jnp.zeros((dim,))
+    got = np.asarray(fused_layer.attention_sublayer_q8(
+        x, one, zero, wq, wk, wv, wo, H))
+    want = np.asarray(fused_layer.attention_sublayer(
+        x, one, zero, wq, wk, wv, wo, H, core='flash'))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_vit_quantized_all_tree_and_output():
+    """ViT(quantized='all', use_kernel='fused'): identical param tree to
+    the plain model, output within int8 noise of bf16."""
+    from sav_tpu.models import create_model
+    base = create_model('vit_s_patch16', num_classes=10,
+                        use_kernel='fused')
+    q8 = create_model('vit_s_patch16', num_classes=10,
+                      use_kernel='fused', quantized='all')
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                          jnp.float32)
+    v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v2 = q8.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda t: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert paths(v) == paths(v2)
+    a = np.asarray(base.apply(v, x, is_training=False))
+    b = np.asarray(q8.apply(v, x, is_training=False))
+    rms = np.sqrt(np.mean(np.square(a))) + 1e-9
+    assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.05, \
+        np.sqrt(np.mean(np.square(a - b))) / rms

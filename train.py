@@ -95,10 +95,11 @@ from sav_tpu.train import TrainConfig, Trainer
                  help='ViT position embedding: learned absolute (reference '
                       'default), fixed sinusoidal, or rotary on q/k')
 @optgroup.option('--quantized',
-                 type=click.Choice(['none', 'int8', 'ff']),
+                 type=click.Choice(['none', 'int8', 'ff', 'ff_sb']),
                  default='none',
                  help="int8 QAT: 'int8' = per-matmul forward, 'ff' = "
-                      'whole-FF Pallas kernel (faster than bf16 on v5e)')
+                      'whole-FF Pallas kernel (faster than bf16 on v5e), '
+                      "'ff_sb' = 'ff' + SwitchBack int8 dx backward")
 @optgroup.option('--grad_accum', type=click.IntRange(min=1), default=1,
                  help='accumulate gradients over N microbatches per '
                       'optimizer step (same effective batch, 1/N '
