@@ -45,6 +45,7 @@ class EncoderBlock(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    quantized: Union[bool, str] = False
 
     def _th_fused_route(self, inputs) -> bool:
         """Route LN+talking-heads-SA through the one-boundary fused span
@@ -85,7 +86,10 @@ class EncoderBlock(nn.Module):
             # residual=False: LayerScale + stochastic depth sit between
             # the sublayer and the skip connection (reference cait.py:
             # 18-53), so they stay outside the boundary
-            x = th_attention.th_attention_sublayer(
+            sublayer = (th_attention.th_attention_sublayer_q8
+                        if self.quantized == 'all'
+                        else th_attention.th_attention_sublayer)
+            x = sublayer(
                 inputs.astype(self.dtype), s1, b1, wq, wk, wv, wo,
                 m_pre, m_post, self.num_heads)
         else:
@@ -109,7 +113,12 @@ class EncoderBlock(nn.Module):
         y = FFBlock(expand_ratio=self.expand_ratio,
                     dropout_rate=self.dropout_rate,
                     activation_fn=self.activation_fn,
-                    dtype=self.dtype)(y, is_training=is_training)
+                    dtype=self.dtype,
+                    # 'all' runs the bare int8 FF kernel (CaiT's
+                    # LayerScale sits between FF and residual, so the
+                    # LN-fused residual-riding span does not apply)
+                    quantized='ff' if self.quantized == 'all'
+                    else self.quantized)(y, is_training=is_training)
         y = LayerScaleBlock(eps=self.layerscale_eps,
                             dtype=self.dtype)(y, is_training=is_training)
         y = StochasticDepthBlock(drop_rate=self.stoch_depth_rate)(
@@ -143,6 +152,7 @@ class Encoder(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    quantized: Union[bool, str] = False
     scan_layers: bool = False
 
     @nn.compact
@@ -158,7 +168,8 @@ class Encoder(nn.Module):
                             layerscale_eps=self.layerscale_eps,
                             activation_fn=self.activation_fn,
                             dtype=self.dtype,
-                            use_kernel=self.use_kernel)
+                            use_kernel=self.use_kernel,
+                            quantized=self.quantized)
         if self.scan_layers:
             scanned = nn.scan(ScanEncoderBlock,
                               variable_axes={'params': 0},
@@ -233,6 +244,7 @@ class CaiT(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    quantized: Union[bool, str] = False
     scan_layers: bool = False
 
     @nn.compact
@@ -251,6 +263,7 @@ class CaiT(nn.Module):
                     activation_fn=self.activation_fn,
                     dtype=self.dtype,
                     use_kernel=self.use_kernel,
+                    quantized=self.quantized,
                     scan_layers=self.scan_layers)(x, is_training=is_training)
 
         batch = x.shape[0]

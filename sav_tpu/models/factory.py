@@ -118,7 +118,7 @@ def create_model(model_name: str,
     fields = getattr(model_cls, '__dataclass_fields__', {})
     unknown = [k for k in overrides if fields and k not in fields]
     if unknown:
-        hint = (' (--quantized is ViT-family only)'
+        hint = (' (--quantized covers the ViT and CaiT families)'
                 if 'quantized' in unknown else '')
         raise RuntimeError(
             f'{model_cls.__name__} does not support '

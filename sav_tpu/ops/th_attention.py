@@ -664,3 +664,117 @@ def th_sublayer_reference(x, scale, bias, wq, wk, wv, wo, m_pre, m_post,
     o = jnp.einsum('bhqp,bphc->bqhc', a.astype(cdt), v)
     out = jnp.einsum('bqhc,hcd->bqd', o, wo.astype(cdt))
     return x + out if residual else out
+
+
+# --------------------- int8 serving forward (projections quantized)
+#
+# Serving-only twin of the lean fused forward above (same pattern as
+# fused_layer.attention_sublayer_q8): q/k/v projections int8 off ONE
+# per-row quantization of the LN output, the talking-heads mixes and
+# softmax bf16/f32 exactly as the bf16 kernel, out-projection int8 on the
+# concatenated head bands. No custom_vjp — predict.py --quantized all.
+
+
+def _th_q8_kernel(x_ref, scale_ref, bias_ref, wq_ref, sq_ref, wk_ref,
+                  sk_ref, wv_ref, sv_ref, wo_ref, so_ref, mpre_ref,
+                  mpost_ref, out_ref, *, l: int, heads: int, dp: int,
+                  d_logical: int, eps: float, residual: bool):
+    from sav_tpu.ops.int8_matmul_kernel import _quantize_tile
+
+    xf = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * scale_ref[0] + bias_ref[0]
+
+    yq, ys = _quantize_tile(y)
+    cdt = x_ref.dtype
+
+    def proj(w_ref, s_ref):
+        acc = jax.lax.dot_general(yq, w_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (ys * s_ref[...])
+
+    sc = 1.0 / (d_logical ** 0.5)
+    q = (proj(wq_ref, sq_ref) * sc).astype(cdt)
+    k = proj(wk_ref, sk_ref).astype(cdt)
+    v = proj(wv_ref, sv_ref).astype(cdt)
+
+    band = lambda a, h: a[:, h * dp:(h + 1) * dp]
+    s = [fa._qk(band(q, h), band(k, h))[:, :l] for h in range(heads)]
+    st = [_mix_rows(mpre_ref, s, i) for i in range(heads)]
+
+    pn = []
+    for i in range(heads):
+        m = jnp.max(st[i], axis=1, keepdims=True)
+        p = jnp.exp(st[i] - m)
+        pn.append(p / jnp.sum(p, axis=1, keepdims=True))
+
+    attn_bands = []
+    for i in range(heads):
+        pt = _mix_rows(mpost_ref, pn, i)
+        attn_bands.append(fa._matmul(pt.astype(v.dtype),
+                                     band(v, i)[:l]).astype(cdt))
+
+    aq, a_s = _quantize_tile(jnp.concatenate(attn_bands, axis=1))
+    acc = jax.lax.dot_general(aq, wo_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (a_s * so_ref[...])
+    if residual:
+        out = xf + out
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def th_attention_sublayer_q8(x, scale, bias, wq, wk, wv, wo, m_pre,
+                             m_post, num_heads, eps=LN_EPS,
+                             residual=False):
+    """Serving-only talking-heads span with int8 projections; same
+    signature/param layout as :func:`th_attention_sublayer`. Falls back
+    to the bf16 span when the unrolled-kernel geometry is unsupported
+    (the blocked @384 path stays bf16). Not differentiable by design."""
+    from sav_tpu.ops.quantized import quantize_symmetric
+
+    b, l, dim = x.shape
+    d_logical = wq.shape[2]
+    if not th_supported(l, num_heads, d_logical):
+        return th_attention_sublayer(x, scale, bias, wq, wk, wv, wo,
+                                     m_pre, m_post, num_heads, eps,
+                                     residual)
+    dp = fa._round_up(d_logical, BAND)
+    hd = num_heads * dp
+    cdt = x.dtype
+    wq_f, wk_f, wv_f, wo_f = _pad_weights(wq, wk, wv, wo, num_heads,
+                                          d_logical, dp, jnp.float32)
+    (wq_q, sq), (wk_q, sk), (wv_q, sv) = (
+        quantize_symmetric(w, axis=0) for w in (wq_f, wk_f, wv_f))
+    wo_q, so = quantize_symmetric(wo_f, axis=0)
+
+    lp = max(fa._round_up(l, 16), 64)
+    x_p = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0))) if lp != l else x
+    row = lambda a: a.astype(jnp.float32).reshape(1, dim)
+    x_spec = pl.BlockSpec((1, lp, dim), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, dim), lambda bi: (0, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((dim, hd), lambda bi: (0, 0),
+                             memory_space=pltpu.VMEM)
+    s_in_spec = pl.BlockSpec((1, hd), lambda bi: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_out_spec = pl.BlockSpec((hd, dim), lambda bi: (0, 0),
+                              memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_th_q8_kernel, l=l, heads=num_heads, dp=dp,
+                          d_logical=d_logical, eps=eps, residual=residual),
+        grid=(b,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_in_spec, s_in_spec,
+                  w_in_spec, s_in_spec, w_in_spec, s_in_spec,
+                  w_out_spec, vec_spec, m_spec, m_spec],
+        out_specs=[x_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, lp, dim), cdt)],
+        interpret=fa._interpret(),
+    )(x_p, row(scale), row(bias), wq_q, sq, wk_q, sk, wv_q, sv,
+      wo_q, row(so.reshape(-1)), m_pre.astype(jnp.float32),
+      m_post.astype(jnp.float32))
+    return out[0][:, :l]

@@ -327,3 +327,29 @@ def test_vit_quantized_all_tree_and_output():
     rms = np.sqrt(np.mean(np.square(a))) + 1e-9
     assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.05, \
         np.sqrt(np.mean(np.square(a - b))) / rms
+
+
+def test_cait_quantized_all_tree_and_output():
+    """CaiT(quantized='all', use_kernel='fused_th'): identical param tree
+    to the plain model, output within int8 noise. (2 layers — interpret
+    mode pays per unrolled layer, and depth adds no new code paths.)"""
+    from sav_tpu.models.cait import CaiT
+    mk = lambda **kw: CaiT(num_classes=10, num_layers=2,
+                           num_layers_token_only=1, num_heads=4,
+                           embed_dim=192, patch_shape=(16, 16),
+                           stoch_depth_rate=0.0, layerscale_eps=1e-5,
+                           use_kernel='fused_th', **kw)
+    base = mk()
+    q8 = mk(quantized='all')
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                          jnp.float32)
+    v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v2 = q8.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda t: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert paths(v) == paths(v2)
+    a = np.asarray(base.apply(v, x, is_training=False))
+    b = np.asarray(q8.apply(v, x, is_training=False))
+    rms = np.sqrt(np.mean(np.square(a))) + 1e-9
+    assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.05, \
+        np.sqrt(np.mean(np.square(a - b))) / rms
