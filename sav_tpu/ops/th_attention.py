@@ -402,30 +402,37 @@ def _th_blk_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, mpre_ref,
         dv_acc[:, i * dp:(i + 1) * dp] += fa._matmul_tn(
             pad_kv(pt).astype(do_ref.dtype), dob(i))
 
-    # phase 3: softmax backward + transposed pre-mix, per-(i, j) matmul
-    # grids so no dst/ds lists stay live. The pre-mix scalars move from
-    # the [bq, l] logit tiles to the [bq, dp] DQ / [kvp, dp] DK partials
-    # (dq_j = sum_i M[j,i] dst_i @ k_j, dk_j = sum_i M[j,i] dst_i' @ q_j),
-    # and dM1 uses sum(dst_i * s_j) == sum(q_j * (dst_i @ k_j)) so the
-    # raw logits are never rebuilt either. 8x the dq/dk MXU FLOPs
-    # (~+0.4 ms/image at these shapes) buys ~5 MB of peak VMEM — the
-    # trade that lets the whole backward run 128-row blocks.
-    dq_acc = [jnp.zeros((bq, dp), jnp.float32) for _ in range(heads)]
-    dmpre = [[None] * heads for _ in range(heads)]
+    # phase 3: softmax backward, then the transposed pre-mix applied to
+    # the COTANGENTS first (dstm_j = sum_i M[j,i] dst_i — H^2 scalar-
+    # weighted VPU adds), so dq/dk are ONE matmul pair per j:
+    #   ds_j = dstm_j;  dq_j = ds_j @ k_j;  dk_j = ds_j' @ q_j.
+    # The earlier per-(i, j) partial-grid formulation (one [bq, dp]
+    # matmul per PAIR, scalars on the partials) paid 8x the dq/dk MXU
+    # FLOPs to keep only one [bq, l] list live — a trade made when the
+    # 16 MB scoped-VMEM default looked like a wall; with this kernel's
+    # raised vmem_limit_bytes the dst list (+2.6 MB f32) fits, and the
+    # cheap-FLOP form measures 9.30 -> 7.72 ms/layer at CaiT @384 probe
+    # shapes (docs/PERFORMANCE.md round-3 TH section). dM1 reduces
+    # dst_i against s_j recomputed once per j (H extra QK matmuls).
+    dst = []
     for i in range(heads):
-        dst = (pn[i] * (dpn[i] - jnp.sum(dpn[i] * pn[i], axis=1,
-                                         keepdims=True))
-               ).astype(q_ref.dtype)
-        dst_p = pad_kv(dst)
-        for j in range(heads):
-            dq_part = fa._matmul(dst, kb(j)[:l])
-            dq_acc[j] = dq_acc[j] + mpre_ref[j, i] * dq_part
-            dmpre[j][i] = jnp.sum(qb(j).astype(jnp.float32) * dq_part)
-            dk_acc[:, j * dp:(j + 1) * dp] += mpre_ref[j, i] * \
-                fa._matmul_tn(dst_p, qb(j))
+        dst.append((pn[i] * (dpn[i] - jnp.sum(dpn[i] * pn[i], axis=1,
+                                              keepdims=True))))
+    dmpre = [[None] * heads for _ in range(heads)]
+    for j in range(heads):
+        s_j = fa._qk(qb(j), kb(j))[:, :l]
+        for i in range(heads):
+            dmpre[j][i] = jnp.sum(dst[i] * s_j)
 
     for j in range(heads):
-        dq_ref[0, :, j * dp:(j + 1) * dp] = dq_acc[j].astype(dq_ref.dtype)
+        dstm = mpre_ref[j, 0] * dst[0]
+        for i in range(1, heads):
+            dstm = dstm + mpre_ref[j, i] * dst[i]
+        dstm = dstm.astype(q_ref.dtype)
+        dq_ref[0, :, j * dp:(j + 1) * dp] = fa._matmul(
+            dstm, kb(j)[:l]).astype(dq_ref.dtype)
+        dk_acc[:, j * dp:(j + 1) * dp] += fa._matmul_tn(pad_kv(dstm),
+                                                        qb(j))
 
     dm_acc[0] += _dm_tile(dmpre, heads)
     dm_acc[1] += _dm_tile(dmpost, heads)
