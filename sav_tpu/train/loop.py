@@ -70,6 +70,12 @@ class TrainConfig:
     mu_dtype: Optional[str] = None      # e.g. 'bfloat16' first Adam moment
     ema_decay: Optional[float] = None   # params EMA; eval uses the average
     schedule: str = 'cosine'            # 'cosine' | 'wsd'
+    # Checkpoint dir to fine-tune from (fresh optimizer/schedule; head
+    # re-init on class-count change, pos-embed interpolation on resolution
+    # change — train/finetune.py). A resumable checkpoint in
+    # `checkpoint_dir` takes precedence so preempted fine-tunes continue.
+    finetune_from: Optional[str] = None
+    finetune_use_ema: bool = False      # start from the checkpoint's EMA
     pos_embed: str = 'learned'          # learned | fixed | rotary (ViT)
     # int8 QAT modes (ViT): False | 'int8' (per-matmul forward) | 'ff'
     # (whole-FF Pallas kernel, measured faster than bf16 — int8_ff.py)
@@ -182,11 +188,25 @@ class Trainer:
                                    ema=config.ema_decay is not None)
         state = steps_lib.shard_state(self.mesh, state)
 
-        if self.checkpoints is not None:
-            restored_step = self.checkpoints.latest_step()
-            if restored_step is not None:
-                logging.info('restoring checkpoint at step %d', restored_step)
-                state = self.checkpoints.restore(state)
+        restored_step = (self.checkpoints.latest_step()
+                         if self.checkpoints is not None else None)
+        if restored_step is not None:
+            logging.info('restoring checkpoint at step %d', restored_step)
+            state = self.checkpoints.restore(state)
+        elif config.finetune_from:
+            from sav_tpu.train import finetune
+            params, batch_stats, report = finetune.load_pretrained(
+                config.finetune_from, state.params, state.batch_stats,
+                use_ema=config.finetune_use_ema)
+            for line in report:
+                logging.info('finetune: %s', line)
+            logging.info('fine-tuning from %s (%d leaves adapted)',
+                         config.finetune_from, len(report))
+            state = state.replace(
+                params=params, batch_stats=batch_stats,
+                ema_params=jax.tree_util.tree_map(jnp.copy, params)
+                if state.ema_params is not None else None)
+            state = steps_lib.shard_state(self.mesh, state)
         self.state = state
 
         if config.pipeline_parallelism > 1:

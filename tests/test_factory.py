@@ -71,4 +71,6 @@ def test_unsupported_override_raises_clearly():
 
     from sav_tpu.models import factory
     with _pytest.raises(RuntimeError, match='does not support quantized'):
-        factory.create_model('cait_s_24', quantized='ff')
+        factory.create_model('tnt_s_patch16', quantized='ff')
+    # CaiT gained int8 serving support, so the same override must build.
+    assert factory.create_model('cait_s_24', quantized='ff') is not None

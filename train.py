@@ -127,6 +127,15 @@ from sav_tpu.train import TrainConfig, Trainer
 @optgroup.option('--eval_batches', type=int, default=None,
                  help='eval batches per evaluation; default: the full '
                       'eval split (finite sources)')
+@optgroup.option('--finetune_from', type=str, default=None,
+                 help='checkpoint dir to fine-tune from: fresh optimizer/'
+                      'schedule, classifier head re-initialised on class-'
+                      'count change, pos-embed grids interpolated on '
+                      'resolution change (224->384 transfer)')
+@optgroup.option('--finetune_use_ema/--no-finetune_use_ema', default=False,
+                 help="initialise from the checkpoint's EMA params")
+@optgroup.option('--num_classes', type=int, default=1000,
+                 help='classifier label count (default: 1000)')
 @optgroup.option('--wandb/--no-wandb', 'use_wandb', default=False)
 def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          augmentation, model_name, lr, weight_decay, clip_grad,
@@ -136,7 +145,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          quantized, grad_accum, steps_per_dispatch, prefetch_chunks,
          images_per_epoch,
          data_workers, eval_data_dir,
-         holdout_fraction, eval_batches, use_wandb):
+         holdout_fraction, eval_batches, finetune_from, finetune_use_ema,
+         num_classes, use_wandb):
     # absl buffers INFO below its standalone default — without this the
     # per-step metric lines (and 'restoring checkpoint at step N') never
     # reach the terminal
@@ -175,6 +185,9 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         eval_dataset=eval_data_dir,
         holdout_fraction=holdout_fraction,
         eval_batches=eval_batches,
+        finetune_from=finetune_from,
+        finetune_use_ema=finetune_use_ema,
+        num_classes=num_classes,
         **({'images_per_epoch': images_per_epoch}
            if images_per_epoch is not None else {}),
     )
