@@ -124,6 +124,57 @@ def test_adapt_tree_refuses_structural_mismatch():
         adapt_tree(src, tgt)
 
 
+def test_adapt_tree_cvt_batch_stats_and_head():
+    """BatchNorm model: class-count transfer must adapt the head, carry
+    every other param bit-exactly, and map batch_stats 1:1 (their shapes
+    are channel-only, so resolution/class changes never touch them)."""
+    from sav_tpu.models.cvt import CvT
+
+    def cvt_vars(num_classes):
+        model = CvT(num_classes=num_classes, stage_sizes=(1, 1, 1),
+                    num_heads=(1, 1, 2), embed_dim=(8, 8, 16),
+                    dtype=jnp.float32)
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.ones((1, 32, 32, 3)), is_training=True)
+
+    src, tgt = cvt_vars(num_classes=6), cvt_vars(num_classes=3)
+    params, report = adapt_tree(src['params'], tgt['params'])
+    assert sorted(report) == [
+        'Dense_0/bias: head re-initialised for 3 classes',
+        'Dense_0/kernel: head re-initialised for 3 classes']
+    stats, bs_report = adapt_tree(src['batch_stats'], tgt['batch_stats'],
+                                  'batch_stats')
+    assert bs_report == []      # carried over exactly, nothing adapted
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        stats, src['batch_stats'])
+
+
+def test_adapt_tree_botnet_resolution_transfer():
+    """BoTNet 32 -> 64: every BoT-stage rel-pos table is resampled (the
+    feature grid doubles), convs/BN carry over, and the model runs."""
+    from sav_tpu.models.botnet import BoTNet
+
+    def botnet_vars(img):
+        model = BoTNet(num_classes=4, stage_sizes=(1, 1, 1, 1),
+                       num_heads=2, initial_filters=8,
+                       dtype=jnp.float32)
+        return jax.jit(model.init, static_argnames='is_training')(
+            jax.random.PRNGKey(0), jnp.ones((1, img, img, 3)),
+            is_training=False), model
+
+    (src, _), (tgt, model) = botnet_vars(32), botnet_vars(64)
+    params, report = adapt_tree(src['params'], tgt['params'])
+    resampled = [r for r in report if 'rel-pos table resampled' in r]
+    assert len(resampled) == 2      # rel_pos_emb_w + rel_pos_emb_h
+    assert all('3 -> 7' in r for r in resampled)    # 2x2 -> 4x4 grid
+    logits = model.apply({'params': params,
+                          'batch_stats': tgt['batch_stats']},
+                         jnp.ones((2, 64, 64, 3)), is_training=False)
+    assert logits.shape == (2, 4) and np.all(np.isfinite(logits))
+
+
 def test_trainer_finetune_from_checkpoint(tmp_path):
     """Pretrain 2 steps @32/8-way, fine-tune @64/5-way from the checkpoint:
     params must arrive adapted (pos-embed length 17) and train."""
