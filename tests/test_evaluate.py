@@ -76,3 +76,46 @@ def test_run_eval_missing_checkpoint_raises(trained, tmp_path):
     with pytest.raises(click.ClickException, match='no checkpoint'):
         run_eval('vit_ti_patch16', str(tmp_path / 'nowhere'), data_dir,
                  img_size=16, batch_size=8, num_classes=8, dtype='float32')
+
+
+def test_run_eval_quantized_serving_kernels(trained):
+    """--quantized ff scores through the int8 FF serving kernel (interpret
+    mode off-TPU): a different forward, so close to but not identical with
+    the bf16-path loss."""
+    data_dir, ckpt_dir, _ = trained
+    q = run_eval('vit_ti_patch16', ckpt_dir, data_dir, img_size=16,
+                 batch_size=8, num_classes=8, dtype='float32',
+                 holdout_fraction=0.25, quantized='ff')
+    raw = run_eval('vit_ti_patch16', ckpt_dir, data_dir, img_size=16,
+                   batch_size=8, num_classes=8, dtype='float32',
+                   holdout_fraction=0.25)
+    assert q['eval_images'] == 16.0
+    assert np.isfinite(q['eval_loss'])
+    np.testing.assert_allclose(q['eval_loss'], raw['eval_loss'], rtol=0.1)
+
+
+def test_run_eval_pos_embed_must_match_training(tmp_path):
+    """A rotary-trained checkpoint evaluates under --pos_embed rotary (the
+    param trees differ from learned: no pos_embed table), reproducing the
+    trainer's held-out eval numbers."""
+    from sav_tpu.data.grain_loader import write_npz_shards
+    from sav_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.RandomState(1)
+    data_dir = str(tmp_path / 'npz')
+    write_npz_shards(rng.randint(0, 256, (32, 16, 16, 3), dtype=np.uint8),
+                     rng.randint(0, 4, (32,)), data_dir, shard_size=32)
+    ckpt_dir = str(tmp_path / 'ck')
+    config = TrainConfig(model_name='vit_ti_patch16', img_size=16,
+                         batch_size=8, total_steps=2, dtype='float32',
+                         num_classes=4, dataset=data_dir,
+                         images_per_epoch=32, pos_embed='rotary',
+                         holdout_fraction=0.25, checkpoint_dir=ckpt_dir,
+                         log_every=1, eval_every_epochs=10**6,
+                         checkpoint_every_epochs=10**6)
+    train_metrics = Trainer(config).run()
+    metrics = run_eval('vit_ti_patch16', ckpt_dir, data_dir, img_size=16,
+                       batch_size=8, num_classes=4, dtype='float32',
+                       holdout_fraction=0.25, pos_embed='rotary')
+    np.testing.assert_allclose(metrics['eval_loss'],
+                               train_metrics['eval_loss'], rtol=1e-5)
