@@ -17,6 +17,7 @@ are the sorted class-directory order (what torchvision/TFDS ImageNet use).
 
 from __future__ import annotations
 
+import io
 import os
 from typing import Sequence, Tuple
 
@@ -41,7 +42,8 @@ def _list_jpegs(root: str) -> Tuple[Sequence[str], Sequence[int], Sequence[str]]
     return paths, labels, classes
 
 
-def decode_jpeg_fixed(path_or_file, decode_size: int) -> np.ndarray:
+def decode_jpeg_fixed(path_or_file, decode_size: int, *,
+                      allow_native: bool = True) -> np.ndarray:
     """Decodes a JPEG to a fixed ``[decode_size, decode_size, 3]`` uint8 frame.
 
     Keep-aspect resize-small to ``decode_size`` then center crop — the same
@@ -51,11 +53,32 @@ def decode_jpeg_fixed(path_or_file, decode_size: int) -> np.ndarray:
     smaller than the stored photo, which skips most of the IDCT work for
     ImageNet-sized originals.
 
+    When the native tier (``sav_tpu.native``: direct libjpeg with the same
+    draft scaling, resize and crop fused into one C++ pass) is available it
+    handles the common case; PIL remains the fallback for anything it
+    declines (CMYK streams, missing toolchain — and ``SAV_TPU_NO_NATIVE=1``
+    disables it outright).
+
     The device-side train transform then samples its distorted-bbox crop from
     this frame; relative to the reference (which crops the pre-resize
     original) only content outside the central square is lost.
     """
     from PIL import Image
+
+    if allow_native:
+        from sav_tpu import native
+
+        if isinstance(path_or_file, (str, os.PathLike)):
+            with open(path_or_file, 'rb') as f:
+                data = f.read()
+        else:
+            data = path_or_file.read()
+            path_or_file = io.BytesIO(data)  # rewound copy for the fallback
+        frame = native.decode_jpeg_fixed_native(data, decode_size)
+        if frame is not None:
+            return frame
+        if isinstance(path_or_file, (str, os.PathLike)):
+            path_or_file = io.BytesIO(data)
 
     with Image.open(path_or_file) as img:
         # draft may overshoot (it only does power-of-two scales); ask for 2x
