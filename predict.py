@@ -1,7 +1,8 @@
 """Batched inference CLI — the serving surface the reference never had.
 
 Loads an Orbax checkpoint produced by ``train.py``, decodes JPEGs on the
-host (PIL draft-mode, the training loader's decode), runs the on-device
+host (the training loader's decode: native C++ libjpeg tier with PIL
+draft-mode fallback, ``sav_tpu/native``), runs the on-device
 eval transform (resize-small -> central crop -> normalize, reference:
 data/preprocess/preprocess.py:191-204) plus the model forward in ONE jit,
 and prints one JSON line per image with the top-k classes. Missing

@@ -15,6 +15,9 @@ names. Four reference factory bugs are fixed, keeping the names:
 
 from __future__ import annotations
 
+import functools
+import json
+import os
 from typing import Any, Dict
 
 import jax.numpy as jnp
@@ -98,23 +101,86 @@ def available_models():
     return sorted(MODEL_CONFIGS)
 
 
+# Spec-file construction: checkpoint importers (scripts/import_hf_checkpoint
+# .py) write a `model.json` describing an architecture outside the 29-name
+# registry; every CLI then accepts `-m path/to/model.json`.
+_SPEC_CLASSES = {'vit': ViT, 'cait': CaiT, 'ceit': CeiT, 'cvt': CvT,
+                 'tnt': TNT, 'botnet': BoTNet, 'mixer': MLPMixer}
+
+
+def _spec_activation(name: str):
+    from flax import linen as nn
+    table = {
+        'gelu': nn.activation.gelu,                  # flax default: tanh
+        'gelu_exact': functools.partial(nn.activation.gelu,
+                                        approximate=False),
+        'relu': nn.activation.relu,
+    }
+    try:
+        return table[name]
+    except KeyError:
+        raise RuntimeError(
+            f'unknown activation {name!r} in model spec; '
+            f'known: {", ".join(sorted(table))}') from None
+
+
+def _create_from_spec(path: str, num_classes, dtype, overrides):
+    with open(path) as f:
+        spec = json.load(f)
+    try:
+        model_cls = _SPEC_CLASSES[spec['model']]
+    except KeyError:
+        raise RuntimeError(
+            f'model spec {path!r} names unknown model '
+            f'{spec.get("model")!r}; known: '
+            f'{", ".join(sorted(_SPEC_CLASSES))}') from None
+    kwargs = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in spec.get('kwargs', {}).items()}
+    if 'activation' in kwargs:
+        kwargs['activation_fn'] = _spec_activation(kwargs.pop('activation'))
+    # the spec's num_classes wins: CLIs pass their --num_classes default
+    # unconditionally, and the checkpoint's head width is not negotiable
+    kwargs.setdefault('num_classes', num_classes)
+    kwargs['dtype'] = dtype
+    kwargs.update(overrides)
+    return model_cls, kwargs
+
+
 def create_model(model_name: str,
                  num_classes: int = 1000,
                  dtype: jnp.dtype = jnp.float32,
                  **overrides):
-    """Builds a model from its registry name.
+    """Builds a model from its registry name or a ``model.json`` spec.
 
     Extra keyword arguments override config fields (e.g. ``use_kernel=False``
     to force the jnp attention path).
+
+    ``model_name`` may also be a path to a JSON model spec (or a directory
+    containing ``model.json``, e.g. an imported-checkpoint directory):
+    ``{"model": "vit", "kwargs": {...}}`` with ``kwargs`` holding the
+    constructor fields (lists become tuples; ``activation`` is a string key:
+    gelu | gelu_exact | relu). Written by scripts/import_hf_checkpoint.py.
     """
-    try:
-        model_cls, config = MODEL_CONFIGS[model_name]
-    except KeyError:
-        raise RuntimeError(
-            f'Model not found: {model_name!r}. '
-            f'Available: {", ".join(available_models())}') from None
-    kwargs = dict(config)
-    kwargs.update(overrides)
+    spec_path = None
+    if model_name.endswith('.json'):
+        spec_path = model_name
+    elif (os.path.sep in model_name
+          and os.path.isfile(os.path.join(model_name, 'model.json'))):
+        spec_path = os.path.join(model_name, 'model.json')
+    if spec_path is not None:
+        model_cls, kwargs = _create_from_spec(spec_path, num_classes,
+                                              dtype, overrides)
+        num_classes = kwargs.pop('num_classes')
+        dtype = kwargs.pop('dtype')
+    else:
+        try:
+            model_cls, config = MODEL_CONFIGS[model_name]
+        except KeyError:
+            raise RuntimeError(
+                f'Model not found: {model_name!r}. '
+                f'Available: {", ".join(available_models())}') from None
+        kwargs = dict(config)
+        kwargs.update(overrides)
     fields = getattr(model_cls, '__dataclass_fields__', {})
     unknown = [k for k in overrides if fields and k not in fields]
     if unknown:

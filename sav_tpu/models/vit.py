@@ -48,6 +48,10 @@ class EncoderBlock(nn.Module):
     fused_qkv: bool = False
     quantized: bool = False
     rotary: bool = False
+    # q/k/v/out projection biases (reference default: none, attention.py
+    # use_bias=False). Enabled by the HF-checkpoint importer
+    # (sav_tpu/utils/hf_import.py) whose source trees carry them.
+    attn_bias: bool = False
 
     def _auto_fused_core(self, inputs) -> Union[str, None]:
         """Auto dispatch: route the attention sublayer through the
@@ -62,7 +66,8 @@ class EncoderBlock(nn.Module):
         """
         from sav_tpu.ops import fused_layer
 
-        if self.attn_dropout_rate or self.dropout_rate or self.fused_qkv:
+        if (self.attn_dropout_rate or self.dropout_rate or self.fused_qkv
+                or self.attn_bias):
             return None
         return fused_layer.auto_core(inputs.shape[-2], self.num_heads,
                                      inputs.shape[-1] // self.num_heads)
@@ -85,6 +90,7 @@ class EncoderBlock(nn.Module):
                                    dtype=self.dtype,
                                    use_kernel=self.use_kernel,
                                    fused_qkv=self.fused_qkv,
+                                   use_bias=self.attn_bias,
                                    rotary=self.rotary)(
                                        x, is_training=is_training)
             x = x + inputs
@@ -158,6 +164,7 @@ class EncoderBlock(nn.Module):
         assert self.attn_dropout_rate == 0.0 and self.dropout_rate == 0.0, \
             'fused_layer path is dropout-free'
         assert not self.fused_qkv
+        assert not self.attn_bias, 'fused_layer path carries no qkv biases'
         dim = inputs.shape[-1]
         scale, bias = LayerNormParams(dim, name='LayerNorm_0')()
         wq, wk, wv, wo = AttentionSublayerParams(
@@ -188,6 +195,7 @@ class EncoderBlock(nn.Module):
         assert self.attn_dropout_rate == 0.0 and self.dropout_rate == 0.0, \
             'fused_block path is dropout-free'
         assert not self.rotary and not self.fused_qkv and not self.quantized
+        assert not self.attn_bias, 'fused_block path carries no qkv biases'
         assert self.activation_fn is nn.activation.gelu, \
             'fused_block path is gelu-only'
         dim = inputs.shape[-1]
@@ -236,6 +244,7 @@ class Encoder(nn.Module):
     scan_layers: bool = False
     quantized: bool = False
     pos_embed: str = 'learned'
+    attn_bias: bool = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -264,6 +273,7 @@ class Encoder(nn.Module):
                             use_kernel=self.use_kernel,
                             fused_qkv=self.fused_qkv,
                             quantized=self.quantized,
+                            attn_bias=self.attn_bias,
                             rotary=self.pos_embed == 'rotary')
         if self.scan_layers:
             scanned = nn.scan(ScanEncoderBlock,
@@ -297,6 +307,7 @@ class ViT(nn.Module):
     scan_layers: bool = False
     quantized: bool = False
     pos_embed: str = 'learned'      # learned | fixed | rotary | none
+    attn_bias: bool = False         # q/k/v/out biases (HF-ViT trees)
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -322,7 +333,8 @@ class ViT(nn.Module):
                     fused_qkv=self.fused_qkv,
                     scan_layers=self.scan_layers,
                     quantized=self.quantized,
-                    pos_embed=self.pos_embed)(x, is_training=is_training)
+                    pos_embed=self.pos_embed,
+                    attn_bias=self.attn_bias)(x, is_training=is_training)
 
         return nn.Dense(features=self.num_classes,
                         dtype=self.dtype,
