@@ -97,6 +97,11 @@ def run_eval(model_name: str, checkpoint_dir: str, data_dir: str,
         ckpt.close()
     if restored is None:
         raise click.ClickException(f'no checkpoint in {checkpoint_dir}')
+    from sav_tpu.train.finetune import adapt_restored_for_inference
+    restored, adapt_report = adapt_restored_for_inference(model, restored,
+                                                          img_size)
+    for line in adapt_report:   # e.g. pos-embed interpolated for img_size
+        click.echo(f'  {line}', err=True)
     params = restored['params']
     if use_ema and restored.get('ema_params') is not None:
         params = restored['ema_params']

@@ -89,9 +89,13 @@ def main(model_name, checkpoint_dir, images, img_size, batch_size, top_k,
         click.echo(f'WARNING: no checkpoint in {checkpoint_dir}; '
                    'predicting from random init', err=True)
     else:
-        serving = restored
+        from sav_tpu.train.finetune import adapt_restored_for_inference
+        serving, report = adapt_restored_for_inference(model, restored,
+                                                       img_size)
         click.echo(f"restored checkpoint at step {restored['step']}",
                    err=True)
+        for line in report:    # e.g. pos-embed interpolated for --img_size
+            click.echo(f'  {line}', err=True)
     ckpt.close()
     use_ema = ema and serving['ema_params'] is not None
     params = serving['ema_params'] if use_ema else serving['params']

@@ -87,11 +87,15 @@ def interpolate_rel_pos_embed(table: jax.Array, target_len: int) -> jax.Array:
 
 
 def adapt_tree(restored: Any, target: Any,
-               collection: str = 'params') -> Tuple[Any, List[str]]:
+               collection: str = 'params',
+               allow_head_reinit: bool = True) -> Tuple[Any, List[str]]:
     """Fills the target-shaped tree from restored leaves.
 
     Returns ``(tree, report)`` where report lists every adapted leaf.
     Raises ValueError on structural mismatch or unadaptable shape changes.
+    ``allow_head_reinit=False`` (the inference mode) additionally refuses
+    classifier-width changes — re-initialising a head is a fine-tune
+    start, not something eval/serving can recover from.
     """
     rflat = traverse_util.flatten_dict(restored or {})
     tflat = traverse_util.flatten_dict(target or {})
@@ -127,6 +131,12 @@ def adapt_tree(restored: Any, target: Any,
         if (rleaf.shape[:-1] == tleaf.shape[:-1]
                 and key[-1] in ('kernel', 'bias')
                 and len(key) == 2 and key[-2].startswith('Dense')):
+            if not allow_head_reinit:
+                raise ValueError(
+                    f'checkpoint head is {rleaf.shape[-1]}-way but the '
+                    f'model was built for {tleaf.shape[-1]} classes; pass '
+                    f'the matching --num_classes (head re-init is a '
+                    f'--finetune_from workflow, not an eval/serving one)')
             # classifier head with a new label count (every model's head is
             # a root-level Dense; depth-2 only, so an interior FF Dense can
             # never be silently re-initialised): keep the target init
@@ -141,6 +151,45 @@ def adapt_tree(restored: Any, target: Any,
             f'head may differ (is this a resolution-bound layer, e.g. '
             f"MLP-Mixer's token-mixing Dense?)")
     return traverse_util.unflatten_dict(out), report
+
+
+def adapt_restored_for_inference(model, restored: Dict[str, Any],
+                                 img_size: int) -> Tuple[Dict[str, Any],
+                                                         List[str]]:
+    """Resolution-adapts a template-free inference restore in place of the
+    serving geometry (``predict.py --img_size`` / ``evaluate.py`` at a
+    resolution other than the checkpoint's): pos-embed grids and BoTNet
+    rel-pos tables interpolate, everything else — including the classifier
+    head — must match exactly.
+
+    Target shapes come from ``jax.eval_shape`` (no compile, no memory);
+    when every shape already matches, the restore is returned untouched.
+    Returns ``(restored, report)``.
+    """
+    target = jax.eval_shape(
+        lambda rng, x: model.init(rng, x, is_training=False),
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, img_size, img_size, 3), jnp.float32))
+
+    def shapes(tree):
+        return [tuple(leaf.shape)
+                for leaf in jax.tree_util.tree_leaves(tree)]
+
+    report: List[str] = []
+    out = dict(restored)
+    for collection, key in (('params', 'params'),
+                            ('params', 'ema_params'),
+                            ('batch_stats', 'batch_stats')):
+        source = restored.get(key)
+        if not source or collection not in target:
+            continue
+        if shapes(source) == shapes(target[collection]):
+            continue
+        adapted, rep = adapt_tree(source, target[collection], collection,
+                                  allow_head_reinit=False)
+        out[key] = adapted
+        report += [f'{key}/{line}' for line in rep]
+    return out, report
 
 
 def load_pretrained(checkpoint_dir: str, target_params: Any,

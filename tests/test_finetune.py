@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sav_tpu.train.finetune import (adapt_tree, interpolate_pos_embed,
+from sav_tpu.train.finetune import (adapt_restored_for_inference,
+                                    adapt_tree, interpolate_pos_embed,
                                     interpolate_rel_pos_embed)
 
 
@@ -96,6 +97,37 @@ def test_adapt_tree_vit_resolution_and_head():
         ['queries']['kernel'],
         src['Encoder_0']['EncoderBlock_0']['SelfAttentionBlock_0']
         ['queries']['kernel'])
+
+
+def test_adapt_restored_for_inference_resolution():
+    """Serving a @32 checkpoint at --img_size 48: pos-embed interpolates,
+    everything else passes through untouched (and a matching geometry is
+    a true no-op)."""
+    model8, src = _vit_params(32, num_classes=8)
+    restored = {'params': src, 'ema_params': None, 'batch_stats': {},
+                'step': 7}
+    same, report = adapt_restored_for_inference(model8, restored, 32)
+    assert report == [] and same['params'] is src
+
+    adapted, report = adapt_restored_for_inference(model8, restored, 48)
+    assert any('pos-embed interpolated 5 -> 10' in r for r in report)
+    logits = model8.apply({'params': adapted['params']},
+                          jnp.ones((2, 48, 48, 3)), is_training=False)
+    assert logits.shape == (2, 8) and np.all(np.isfinite(logits))
+    np.testing.assert_array_equal(
+        adapted['params']['Dense_0']['kernel'], src['Dense_0']['kernel'])
+    # ema params adapt alongside when present
+    restored_ema = dict(restored, ema_params=src)
+    adapted, report = adapt_restored_for_inference(model8, restored_ema, 48)
+    assert sum('pos-embed interpolated' in r for r in report) == 2
+
+
+def test_adapt_restored_for_inference_refuses_head_change():
+    model5, _ = _vit_params(32, num_classes=5)
+    _, src8 = _vit_params(32, num_classes=8)
+    restored = {'params': src8, 'ema_params': None, 'batch_stats': {}}
+    with pytest.raises(ValueError, match='--num_classes'):
+        adapt_restored_for_inference(model5, restored, 32)
 
 
 def test_adapt_tree_refuses_unadaptable_mismatch():
