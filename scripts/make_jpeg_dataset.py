@@ -47,23 +47,62 @@ def synth_image(rng: np.random.RandomState, cls: int, num_classes: int,
 def main():
     from PIL import Image
 
+    import io
+
     parser = argparse.ArgumentParser()
     parser.add_argument('--out', required=True)
     parser.add_argument('--classes', type=int, default=10)
     parser.add_argument('--per-class', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--quality', type=int, default=85)
+    parser.add_argument('--min-size', type=int, default=256)
+    parser.add_argument('--max-size', type=int, default=512)
     parser.add_argument('--tar', action='store_true',
                         help='also pack the tree into shards.tar')
+    parser.add_argument('--tar-only', type=int, default=0, metavar='N',
+                        help='write N tar shards directly (classes round-'
+                             'robined across shards), no ImageFolder tree — '
+                             'the layout for scale soaks where 10^5 inodes '
+                             'would be wasteful')
     args = parser.parse_args()
 
     rng = np.random.RandomState(args.seed)
+
+    if args.tar_only:
+        os.makedirs(args.out, exist_ok=True)
+        tars = [tarfile.open(os.path.join(args.out, f'shard_{s:03d}.tar'),
+                             'w') for s in range(args.tar_only)]
+        total = 0
+        for cls in range(args.classes):
+            cname = f'class_{cls:04d}'
+            for i in range(args.per_class):
+                height = int(rng.randint(args.min_size, args.max_size + 1))
+                width = int(rng.randint(args.min_size, args.max_size + 1))
+                arr = synth_image(rng, cls, args.classes, height, width)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format='JPEG',
+                                          quality=args.quality)
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f'{cname}/img_{i:05d}.jpg')
+                info.size = len(data)
+                tars[(cls * args.per_class + i) % len(tars)].addfile(
+                    info, io.BytesIO(data))
+                total += 1
+            if cls % 10 == 0:
+                print(f'class {cls}/{args.classes} done '
+                      f'({total} images)', flush=True)
+        for tar in tars:
+            tar.close()
+        print(f'wrote {total} jpegs into {args.tar_only} tar shards '
+              f'under {args.out}')
+        return
+
     for cls in range(args.classes):
         cdir = os.path.join(args.out, f'class_{cls:04d}')
         os.makedirs(cdir, exist_ok=True)
         for i in range(args.per_class):
-            height = int(rng.randint(256, 513))
-            width = int(rng.randint(256, 513))
+            height = int(rng.randint(args.min_size, args.max_size + 1))
+            width = int(rng.randint(args.min_size, args.max_size + 1))
             arr = synth_image(rng, cls, args.classes, height, width)
             Image.fromarray(arr).save(
                 os.path.join(cdir, f'img_{i:05d}.jpg'),

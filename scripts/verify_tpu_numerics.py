@@ -1,0 +1,268 @@
+"""One-command TPU numerics verifier for every auto-routed Pallas kernel.
+
+The pytest suite runs kernels in interpret mode on the CPU mesh (by
+design — TPU wedge hazards, see .claude/skills/verify/SKILL.md); this
+script is the REAL-TPU counterpart: one process, every auto-dispatched
+kernel at the shapes it actually dispatches at in the zoo, each compared
+against its jnp twin with a pinned tolerance (VERDICT r3 weak #6).
+
+Run on the chip (default env):      python scripts/verify_tpu_numerics.py
+Quick subset (skips @384 shapes):   python scripts/verify_tpu_numerics.py --quick
+
+Prints one PASS/FAIL row per check and exits nonzero on any failure.
+Tolerances are relative max-|diff| against the f32 twin unless a row
+says rms (int8 rows: quantization noise is the signal, so RMS vs bf16).
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, '.')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+
+RESULTS = []
+
+
+def record(name, err, tol, kind='rel-max'):
+    ok = bool(err < tol)
+    RESULTS.append((name, err, tol, kind, ok))
+    print(f'{"PASS" if ok else "FAIL"}  {name:<44} {kind}={err:.3e} '
+          f'(tol {tol:.1e})', flush=True)
+
+
+def rel_max(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+
+
+def rel_rms(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2))
+                 / (np.sqrt(np.mean(b ** 2)) + 1e-12))
+
+
+def grad_err(fn_a, fn_b, args, argnums):
+    la = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.square(
+        fn_a(*a).astype(jnp.float32))), argnums=argnums))
+    lb = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.square(
+        fn_b(*a).astype(jnp.float32))), argnums=argnums))
+    ga, gb = la(*args), lb(*args)
+    return max(rel_max(x, y) for x, y in zip(ga, gb))
+
+
+def mha_args(b, l, h, d, dtype=jnp.bfloat16, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    mk = lambda k: jax.random.normal(k, (b, l, h, d), dtype)
+    return mk(ks[0]), mk(ks[1]), mk(ks[2])
+
+
+def sublayer_args(b, l, dim, h, d, dtype=jnp.bfloat16, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (b, l, dim), dtype)
+    scale = 1.0 + 0.1 * jax.random.normal(ks[1], (dim,))
+    bias = 0.1 * jax.random.normal(ks[2], (dim,))
+    wq = (jax.random.normal(ks[3], (dim, h, d)) / np.sqrt(dim)).astype(dtype)
+    wk = (jax.random.normal(ks[4], (dim, h, d)) / np.sqrt(dim)).astype(dtype)
+    wv = (jax.random.normal(ks[5], (dim, h, d)) / np.sqrt(dim)).astype(dtype)
+    wo = (jax.random.normal(ks[6], (h, d, dim)) / np.sqrt(dim)).astype(dtype)
+    return x, scale, bias, wq, wk, wv, wo
+
+
+def jnp_sublayer(x, scale, bias, wq, wk, wv, wo, num_heads, eps=1e-6):
+    """f32 LN + projections + exact attention + out-proj + residual —
+    the per-op path the fused span replaces (twin for fused_layer)."""
+    from sav_tpu.ops import attention as attn_ops
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mu * mu, 0.)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
+    q = jnp.einsum('bld,dhk->blhk', y, wq)
+    k = jnp.einsum('bld,dhk->blhk', y, wk)
+    v = jnp.einsum('bld,dhk->blhk', y, wv)
+    o = attn_ops.multi_head_attention(q, k, v, use_kernel=False)
+    return x + jnp.einsum('blhk,hkd->bld', o, wo).astype(x.dtype)
+
+
+def check_flash(b, l, h, d, tag):
+    from sav_tpu.ops import attention as attn_ops
+    q, k, v = mha_args(b, l, h, d)
+    kern = jax.jit(lambda q, k, v: attn_ops.multi_head_attention(
+        q, k, v, use_kernel=True))
+    twin = jax.jit(lambda q, k, v: attn_ops.multi_head_attention(
+        q, k, v, use_kernel=False))
+    record(f'flash mha fwd {tag}', rel_max(kern(q, k, v), twin(q, k, v)),
+           2e-2)
+    record(f'flash mha grad {tag}',
+           grad_err(lambda *a: attn_ops.multi_head_attention(
+               *a, use_kernel=True),
+                    lambda *a: attn_ops.multi_head_attention(
+               *a, use_kernel=False), (q, k, v), (0, 1, 2)), 4e-2)
+
+
+def check_fused_sublayer(b, l, dim, h, d, tag):
+    from sav_tpu.ops import fused_layer
+    core = fused_layer.auto_core(l, h, d)
+    if core is None:
+        print(f'skip  fused sublayer {tag}: auto_core=None')
+        return
+    args = sublayer_args(b, l, dim, h, d)
+    kern = jax.jit(lambda *a: fused_layer.attention_sublayer(
+        *a, h, core=core))
+    twin = jax.jit(lambda *a: jnp_sublayer(*a, h))
+    record(f'fused[{core}] sublayer fwd {tag}',
+           rel_max(kern(*args), twin(*args)), 2e-2)
+    record(f'fused[{core}] sublayer grad {tag}',
+           grad_err(lambda *a: fused_layer.attention_sublayer(
+               *a, h, core=core),
+                    lambda *a: jnp_sublayer(*a, h),
+                    args, (0, 3, 4, 5, 6)), 4e-2)
+
+
+def check_th(b, l, dim, h, d, tag):
+    from sav_tpu.ops import th_attention as th
+    mode = th.th_mode(l, h, d)
+    if mode is None:
+        print(f'skip  th sublayer {tag}: th_mode=None')
+        return
+    x, scale, bias, wq, wk, wv, wo = sublayer_args(b, l, dim, h, d)
+    ks = jax.random.split(jax.random.PRNGKey(9), 2)
+    m_pre = jnp.eye(h) + 0.2 * jax.random.normal(ks[0], (h, h))
+    m_post = jnp.eye(h) + 0.2 * jax.random.normal(ks[1], (h, h))
+    args = (x, scale, bias, wq, wk, wv, wo, m_pre, m_post)
+    kern = jax.jit(lambda *a: th.th_attention_sublayer(*a, h))
+    twin = jax.jit(lambda *a: th.th_sublayer_reference(*a))
+    record(f'th[{mode}] sublayer fwd {tag}',
+           rel_max(kern(*args), twin(*args)), 2e-2)
+    record(f'th[{mode}] sublayer grad {tag}',
+           grad_err(lambda *a: th.th_attention_sublayer(*a, h),
+                    lambda *a: th.th_sublayer_reference(*a),
+                    args, (0, 3, 4, 5, 6, 7, 8)), 4e-2)
+
+
+def check_tnt_inner():
+    from sav_tpu.ops import tnt_inner
+    bp, l, dim, h = 392, 16, 24, 4   # tnt_s inner: 2 images x 196 patches
+    hd, ff = dim // h, 4 * dim
+    if not tnt_inner.supported(l, dim, h):
+        print('skip  tnt inner: unsupported geometry')
+        return
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    mk = lambda i, *s: (jax.random.normal(ks[i], s) / s[0] ** .5).astype(
+        jnp.float32)
+    args = (jax.random.normal(ks[0], (bp, l, dim), jnp.float32) * 0.5,
+            1.0 + 0.1 * mk(1, dim), 0.1 * mk(2, dim),
+            mk(3, dim, h, hd), mk(4, dim, h, hd), mk(5, dim, h, hd),
+            mk(6, h, hd, dim), 1.0 + 0.05 * mk(7, dim), 0.05 * mk(8, dim),
+            mk(1, dim, ff) * 0.5, 0.1 * mk(2, ff), mk(3, ff, dim) * 0.5,
+            0.1 * mk(4, dim))
+    kern = jax.jit(lambda *a: tnt_inner.inner_layer(*a, h))
+    twin = jax.jit(lambda *a: tnt_inner.inner_layer_reference(
+        *a, num_heads=h))
+    record('tnt inner layer fwd', rel_max(kern(*args), twin(*args)), 5e-3)
+    record('tnt inner layer grad',
+           grad_err(lambda *a: tnt_inner.inner_layer(*a, h),
+                    lambda *a: tnt_inner.inner_layer_reference(
+                        *a, num_heads=h),
+                    args, tuple(range(13))), 1e-2)
+
+
+def check_mixer_token():
+    from sav_tpu.ops import mixer_token
+    b, l, dim = 4, 196, 768
+    k = 98                              # tokens_expand_ratio 0.5 (mixer_b)
+    if not mixer_token.supported(l, k, dim):
+        print('skip  mixer token-mix: unsupported geometry')
+        return
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    args = (jax.random.normal(ks[0], (b, l, dim), jnp.float32),
+            1 + 0.1 * jax.random.normal(ks[1], (dim,)),
+            0.1 * jax.random.normal(ks[2], (dim,)),
+            jax.random.normal(ks[3], (l, k)) * 0.05,
+            0.1 * jax.random.normal(ks[4], (k,)),
+            jax.random.normal(ks[5], (k, l)) * 0.05,
+            0.1 * jax.random.normal(ks[6], (l,)))
+    kern = jax.jit(lambda *a: mixer_token.token_mix_sublayer(*a))
+    twin = jax.jit(lambda *a: mixer_token.token_mix_reference(*a))
+    record('mixer token-mix fwd', rel_max(kern(*args), twin(*args)), 5e-3)
+    record('mixer token-mix grad',
+           grad_err(mixer_token.token_mix_sublayer,
+                    mixer_token.token_mix_reference,
+                    args, tuple(range(7))), 1e-2)
+
+
+def check_int8_ff():
+    from sav_tpu.ops import int8_ff
+    from sav_tpu.ops.quantized import quantize_symmetric
+    m, dim, ff = 788, 768, 3072        # ViT-B FF at bs4 @224
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (m, dim), jnp.float32)
+    w1 = jax.random.normal(ks[1], (dim, ff)) / np.sqrt(dim)
+    b1 = 0.1 * jax.random.normal(ks[2], (ff,))
+    w2 = jax.random.normal(ks[3], (ff, dim)) / np.sqrt(ff)
+    b2 = 0.1 * jax.random.normal(ks[4], (dim,))
+    w1_q, s1 = quantize_symmetric(w1, axis=0)
+    w2_q, s2 = quantize_symmetric(w2, axis=0)
+    got = jax.jit(int8_ff.int8_ff_raw)(x, w1_q, s1, b1, w2_q, s2, b2)
+    want = jax.jit(int8_ff.int8_ff_reference)(x, w1_q, s1, b1, w2_q, s2, b2)
+    record('int8 FF kernel vs twin', rel_max(got, want), 1e-3)
+    bf16 = jax.nn.gelu(x @ w1 + b1) @ w2 + b2
+    record('int8 FF vs bf16 FF', rel_rms(got, bf16), 2e-2, kind='rel-rms')
+
+    g = jax.random.normal(ks[0], (m, dim), jnp.float32)
+    hpre = jax.random.normal(ks[1], (m, ff), jnp.float32)
+    w1t_q, s1t = quantize_symmetric(w1.T, axis=0)
+    w2t_q, s2t = quantize_symmetric(w2.T, axis=0)
+    got = jax.jit(int8_ff.int8_ff_dx_raw)(g, hpre, w1t_q, s1t, w2t_q, s2t)
+    want = jax.jit(int8_ff.int8_ff_dx_reference)(g, hpre, w1t_q, s1t,
+                                                 w2t_q, s2t)
+    record('int8 FF-dx kernel vs twin', rel_max(got, want), 1e-3)
+
+
+def check_q8_sublayer():
+    from sav_tpu.ops import fused_layer
+    b, l, dim, h, d = 4, 197, 768, 12, 64
+    x, scale, bias, wq, wk, wv, wo = sublayer_args(
+        b, l, dim, h, d, dtype=jnp.float32)
+    got = jax.jit(lambda *a: fused_layer.attention_sublayer_q8(
+        *a, h))(x, scale, bias, wq, wk, wv, wo)
+    want = jax.jit(lambda *a: fused_layer.attention_sublayer(
+        *a, h, core='fused'))(x, scale, bias, wq, wk, wv, wo)
+    record('q8 serving sublayer vs bf16', rel_rms(got, want), 2e-2,
+           kind='rel-rms')
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--quick', action='store_true',
+                        help='skip the @384-shape checks')
+    args = parser.parse_args()
+
+    dev = jax.devices()[0]
+    print(f'backend: {dev.platform} ({dev.device_kind})', flush=True)
+
+    check_flash(4, 197, 12, 64, 'vit_b@224')
+    check_fused_sublayer(4, 197, 768, 12, 64, 'vit_b@224')
+    check_th(4, 196, 384, 8, 48, 'cait_s24@224')
+    check_tnt_inner()
+    check_mixer_token()
+    check_int8_ff()
+    check_q8_sublayer()
+    if not args.quick:
+        check_flash(2, 577, 12, 64, 'vit_b@384')
+        check_fused_sublayer(2, 577, 768, 12, 64, 'vit_b@384')
+        check_th(2, 576, 384, 8, 48, 'cait_s24@384')
+
+    n_fail = sum(1 for r in RESULTS if not r[4])
+    print(f'\n{len(RESULTS) - n_fail}/{len(RESULTS)} checks passed')
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == '__main__':
+    main()
