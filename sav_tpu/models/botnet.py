@@ -74,18 +74,9 @@ class BottleneckResNetBlock(nn.Module):
         return self.activation_fn(residual + y)
 
 
-def relative_shift(rel_logits):
-    """Skews ``[B, h, L, 2L-1]`` relative logits into absolute ``[B,h,L,L]``.
-
-    Standard pad-reshape-slice trick (reference: models/botnet.py:77-93).
-    Row q, column k ends up holding the logit for relative offset ``k - q``.
-    """
-    b, h, length, _ = rel_logits.shape
-    x = jnp.pad(rel_logits, ((0, 0), (0, 0), (0, 0), (0, 1)))
-    x = rearrange(x, 'b h l v -> b h (l v)')
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, length - 1)))
-    x = rearrange(x, 'b h (l v) -> b h l v', l=length + 1)
-    return x[:, :, :length, length - 1:]
+# canonical implementation lives next to the fused kernel; re-exported
+# here for compatibility (probes/tests import it from this module)
+from sav_tpu.ops.botnet_attention import relative_shift  # noqa: E402,F401
 
 
 class RelativeLogits(nn.Module):
@@ -106,6 +97,7 @@ class RelativeLogits(nn.Module):
     """
 
     head_ch: int
+    decompose: bool = False
 
     @staticmethod
     def _relative_logits_1d(query, rel_pos_emb):
@@ -129,6 +121,11 @@ class RelativeLogits(nn.Module):
             initializers.normal(stddev=self.head_ch ** -0.5),
             (2 * height - 1, self.head_ch))
 
+        if self.decompose:
+            # kernel route: the fused core (ops.botnet_attention) expands
+            # the per-axis terms in VMEM — hand back the raw embeddings
+            return rel_pos_emb_h, rel_pos_emb_w
+
         # [B,h,H,W,Q]: width-offset term, same for every key row P
         rel_w = self._relative_logits_1d(query, rel_pos_emb_w)
         # [B,h,H,W,P]: height-offset term, same for every key column Q
@@ -140,11 +137,34 @@ class RelativeLogits(nn.Module):
 
 
 class BoTMHSA(nn.Module):
-    """All-pairs MHSA over the 2-D grid with relative-position logits."""
+    """All-pairs MHSA over the 2-D grid with relative-position logits.
+
+    ``use_kernel='botnet_fused'`` routes through the fused rel-pos
+    Pallas core (ops.botnet_attention) — opt-in only; see _fused_route
+    for the measured closure. Param tree is identical on both routes
+    (same conv modules, same RelativeLogits params).
+    """
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     kernel_init: Callable = initializers.he_uniform()
+    use_kernel: Any = 'auto'
+
+    def _fused_route(self, height: int, width: int, head_ch: int) -> bool:
+        # NOT auto-routed: the fused core MEASURED a tie-to-loss against
+        # XLA's broadcast-add bias path at botnet_t3 stage shapes
+        # (benchmarks/botnet_region_probe.py: 2.154 vs 2.069 ms/layer
+        # fwd+bwd) — the ~0.5 ms/layer bias-materialization saving is
+        # consumed by the custom_vjp boundary tax at this region size
+        # (the flash @224 closure's mechanism). Kept opt-in,
+        # equality-tested; receipts in docs/PERFORMANCE.md round-4.
+        if self.use_kernel == 'botnet_fused':
+            from sav_tpu.ops import botnet_attention as ba
+            assert (height == width
+                    and ba.supported(height, self.num_heads, head_ch)), (
+                'botnet_fused needs a square grid and supported geometry')
+            return True
+        return False
 
     @nn.compact
     def __call__(self, inputs):
@@ -161,9 +181,28 @@ class BoTMHSA(nn.Module):
         split_heads = functools.partial(rearrange,
                                         pattern='b H W (h d) -> b h H W d',
                                         h=self.num_heads)
-        query = split_heads(conv(name='query')(inputs))
-        key = split_heads(conv(name='key')(inputs))
-        value = split_heads(conv(name='value')(inputs))
+        query_b = conv(name='query')(inputs)            # [B, H, W, h*d]
+        key_b = conv(name='key')(inputs)
+        value_b = conv(name='value')(inputs)
+
+        if self._fused_route(height, width, head_ch):
+            from sav_tpu.ops import botnet_attention as ba
+            scale = jnp.sqrt(head_ch).astype(query_b.dtype)
+            bands = functools.partial(rearrange,
+                                      pattern='b H W c -> b (H W) c')
+            # decompose=True only hands back the embeddings; the shapes
+            # (and the param tree) are identical to the jnp route
+            emb_h, emb_w = RelativeLogits(
+                head_ch=head_ch, decompose=True)(
+                    split_heads(query_b) / scale)
+            out = ba.botnet_mhsa(bands(query_b) / scale, bands(key_b),
+                                 bands(value_b), emb_h, emb_w,
+                                 self.num_heads, height)
+            return rearrange(out, 'b (H W) c -> b H W c', H=height)
+
+        query = split_heads(query_b)
+        key = split_heads(key_b)
+        value = split_heads(value_b)
 
         scaled_query = query / jnp.sqrt(head_ch).astype(query.dtype)
         bias = RelativeLogits(head_ch=head_ch)(scaled_query)
@@ -187,6 +226,7 @@ class BoTBlock(nn.Module):
     projection_factor: int = 4
     activation_fn: Callable = nn.swish
     dtype: jnp.dtype = jnp.float32
+    use_kernel: Any = 'auto'
 
     @nn.compact
     def __call__(self, inputs):
@@ -195,7 +235,8 @@ class BoTBlock(nn.Module):
         y = self.conv(self.filters, kernel_size=(1, 1))(inputs)
         y = self.norm()(y)
         y = self.activation_fn(y)
-        y = BoTMHSA(num_heads=self.num_heads, dtype=self.dtype)(y)
+        y = BoTMHSA(num_heads=self.num_heads, dtype=self.dtype,
+                    use_kernel=self.use_kernel)(y)
         if self.strides == (2, 2):
             y = nn.avg_pool(y, window_shape=(2, 2), strides=self.strides,
                             padding='SAME')
@@ -231,6 +272,7 @@ class BoTNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     kernel_init: Callable = initializers.he_uniform()
     bias_init: Callable = initializers.normal(stddev=1e-6)
+    use_kernel: Any = 'auto'
 
     @nn.compact
     def __call__(self, inputs, is_training: bool = True):
@@ -275,7 +317,8 @@ class BoTNet(nn.Module):
                          num_heads=self.num_heads,
                          projection_factor=self.projection_factor,
                          activation_fn=self.activation_fn,
-                         dtype=self.dtype)(y)
+                         dtype=self.dtype,
+                         use_kernel=self.use_kernel)(y)
 
         y = jnp.mean(y, axis=(1, 2))
         y = nn.Dense(self.num_classes,

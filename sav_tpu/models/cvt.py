@@ -65,6 +65,7 @@ class StageBlock(nn.Module):
     expand_ratio: float = 4
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    quantized: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -82,9 +83,16 @@ class StageBlock(nn.Module):
         x = x + rearrange(inputs, 'b h w d -> b (h w) d')
 
         y = nn.LayerNorm(dtype=self.dtype)(x)
+        # int8 serving covers the FF GEMMs where they are wide enough to
+        # beat the quantize passes (>=128-ch stages; stage-1's 64-ch FF
+        # is VPU-overhead-bound, benchmarks/serve_sweep.py receipts)
+        quantize_ff = (self.quantized in ('ff', 'all')
+                       and self.embed_dim >= 128)
         y = FFBlock(expand_ratio=self.expand_ratio,
                     activation_fn=self.activation_fn,
-                    dtype=self.dtype)(y, is_training=is_training)
+                    dtype=self.dtype,
+                    quantized='ff' if quantize_ff else False)(
+                        y, is_training=is_training)
         return x + y
 
 
@@ -118,6 +126,7 @@ class Stage(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
     scan_layers: bool = False
+    quantized: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -143,7 +152,8 @@ class Stage(nn.Module):
                             bn_epsilon=self.bn_epsilon,
                             expand_ratio=self.expand_ratio,
                             dtype=self.dtype,
-                            use_kernel=self.use_kernel)
+                            use_kernel=self.use_kernel,
+                            quantized=self.quantized)
         if self.scan_layers and self.size > 2:
             # the first block can change sequence length (cls insertion
             # makes L one past a square; zero_pad_and_reshape then grows it
@@ -180,6 +190,7 @@ class CvT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
     scan_layers: bool = False
+    quantized: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -198,7 +209,8 @@ class CvT(nn.Module):
                       expand_ratio=self.expand_ratio,
                       dtype=self.dtype,
                       use_kernel=self.use_kernel,
-                      scan_layers=self.scan_layers)(x, is_training=is_training)
+                      scan_layers=self.scan_layers,
+                      quantized=self.quantized)(x, is_training=is_training)
 
             side = math.isqrt(x.shape[1])
             x = rearrange(x, 'b (H W) c -> b H W c', H=side)
@@ -217,7 +229,8 @@ class CvT(nn.Module):
                   insert_cls=True,
                   dtype=self.dtype,
                   use_kernel=self.use_kernel,
-                  scan_layers=self.scan_layers)(x, is_training=is_training)
+                  scan_layers=self.scan_layers,
+                  quantized=self.quantized)(x, is_training=is_training)
 
         return nn.Dense(features=self.num_classes,
                         use_bias=True,

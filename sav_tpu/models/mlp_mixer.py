@@ -24,6 +24,7 @@ class MixerBlock(nn.Module):
     activation_fn: Callable = nn.activation.gelu
     dtype: jnp.dtype = jnp.float32
     use_kernel: Union[str, bool] = 'auto'
+    quantized: Union[bool, str] = False
 
     def _token_kernel_route(self, inputs) -> bool:
         """Route the token-mixing sublayer through the images-in-lanes
@@ -50,10 +51,16 @@ class MixerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
-        def mlp(ratio, z, name=None):
+        # int8 serving quantizes the CHANNEL-mix FF (wide GEMMs, the
+        # int8_ff kernel's regime); the token-mix GEMMs ([L, L/2]-sized)
+        # stay bf16 — too narrow for int8 to beat the quantize passes
+        ch_quant = 'ff' if self.quantized in ('ff', 'all') else False
+
+        def mlp(ratio, z, name=None, quantized=False):
             return FFBlock(expand_ratio=ratio,
                            activation_fn=self.activation_fn,
                            dtype=self.dtype,
+                           quantized=quantized,
                            name=name)(z, is_training=is_training)
 
         if self._token_kernel_route(inputs):
@@ -73,7 +80,7 @@ class MixerBlock(nn.Module):
             channels = mlp(self.channels_expand_ratio,
                            nn.LayerNorm(dtype=self.dtype,
                                         name='LayerNorm_1')(tokens),
-                           name='FFBlock_1')
+                           name='FFBlock_1', quantized=ch_quant)
             return tokens + channels
 
         # token mixing: transpose so the MLP contracts over the sequence
@@ -85,7 +92,8 @@ class MixerBlock(nn.Module):
 
         # channel mixing: an ordinary transformer MLP on the features
         channels = mlp(self.channels_expand_ratio,
-                       nn.LayerNorm(dtype=self.dtype)(tokens))
+                       nn.LayerNorm(dtype=self.dtype)(tokens),
+                       quantized=ch_quant)
         return tokens + channels
 
 
@@ -110,6 +118,7 @@ class MLPMixer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
     use_kernel: Union[str, bool] = 'auto'
+    quantized: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
@@ -122,7 +131,8 @@ class MLPMixer(nn.Module):
                             channels_expand_ratio=self.channels_expand_ratio,
                             activation_fn=self.activation_fn,
                             dtype=self.dtype,
-                            use_kernel=self.use_kernel)
+                            use_kernel=self.use_kernel,
+                            quantized=self.quantized)
         if self.scan_layers:
             scanned = nn.scan(ScanMixerBlock,
                               variable_axes={'params': 0},

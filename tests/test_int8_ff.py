@@ -353,3 +353,48 @@ def test_cait_quantized_all_tree_and_output():
     rms = np.sqrt(np.mean(np.square(a))) + 1e-9
     assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.05, \
         np.sqrt(np.mean(np.square(a - b))) / rms
+
+
+def test_mixer_quantized_ff_tree_and_output():
+    """MLPMixer(quantized='ff'): channel-mix FFs int8, token-mix bf16;
+    identical param tree, output within int8 noise."""
+    from sav_tpu.models.mlp_mixer import MLPMixer
+    mk = lambda **kw: MLPMixer(num_classes=10, num_layers=2,
+                               embed_dim=128, patch_shape=(16, 16), **kw)
+    base, q8 = mk(), mk(quantized='ff')
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                          jnp.float32)
+    v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v2 = q8.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda t: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert paths(v) == paths(v2)
+    a = np.asarray(base.apply(v, x, is_training=False))
+    b = np.asarray(q8.apply(v, x, is_training=False))
+    rms = np.sqrt(np.mean(np.square(a))) + 1e-9
+    assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.05, \
+        np.sqrt(np.mean(np.square(a - b))) / rms
+
+
+def test_cvt_quantized_ff_tree_and_output():
+    """CvT(quantized='ff'): FF GEMMs int8 on >=128-ch stages (stage-1's
+    64-ch FF stays bf16); identical param tree, output within int8
+    noise."""
+    from sav_tpu.models.cvt import CvT
+    mk = lambda **kw: CvT(num_classes=10, stage_sizes=(1, 1, 2),
+                          num_heads=(1, 2, 4), embed_dim=(64, 128, 256),
+                          **kw)
+    base, q8 = mk(), mk(quantized='ff')
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                          jnp.float32)
+    v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+    v2 = q8.init(jax.random.PRNGKey(1), x, is_training=False)
+    paths = lambda t: {jax.tree_util.keystr(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert paths(v) == paths(v2)
+    a = np.asarray(base.apply(v, x, is_training=False,
+                              mutable=False))
+    b = np.asarray(q8.apply(v, x, is_training=False, mutable=False))
+    rms = np.sqrt(np.mean(np.square(a))) + 1e-9
+    assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.05, \
+        np.sqrt(np.mean(np.square(a - b))) / rms
