@@ -83,11 +83,14 @@ class StageBlock(nn.Module):
         x = x + rearrange(inputs, 'b h w d -> b (h w) d')
 
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        # int8 serving covers the FF GEMMs where they are wide enough to
-        # beat the quantize passes (>=128-ch stages; stage-1's 64-ch FF
-        # is VPU-overhead-bound, benchmarks/serve_sweep.py receipts)
+        # int8 serving covers the FF GEMMs only where they are wide
+        # enough to beat the quantize passes: measured at bs256 @224,
+        # quantizing the 192-ch stage too served 5169 vs 6448 img/s bf16
+        # (benchmarks/serve_sweep.py r4) — the per-row abs-max/round
+        # passes scale with rows while the GEMM saving scales with
+        # D*F/rate, and at 192x768 the passes win. >=256-ch stages only.
         quantize_ff = (self.quantized in ('ff', 'all')
-                       and self.embed_dim >= 128)
+                       and self.embed_dim >= 256)
         y = FFBlock(expand_ratio=self.expand_ratio,
                     activation_fn=self.activation_fn,
                     dtype=self.dtype,
