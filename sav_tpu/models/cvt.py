@@ -82,20 +82,31 @@ class StageBlock(nn.Module):
 
         x = x + rearrange(inputs, 'b h w d -> b (h w) d')
 
-        y = nn.LayerNorm(dtype=self.dtype)(x)
-        # int8 serving covers the FF GEMMs only where they are wide
-        # enough to beat the quantize passes: measured at bs256 @224,
-        # quantizing the 192-ch stage too served 5169 vs 6448 img/s bf16
-        # (benchmarks/serve_sweep.py r4) — the per-row abs-max/round
-        # passes scale with rows while the GEMM saving scales with
-        # D*F/rate, and at 192x768 the passes win. >=256-ch stages only.
+        # int8 FF only where wide enough to beat the quantize passes:
+        # measured serving at bs256 @224 (benchmarks/serve_sweep.py r4):
+        # bare int8 FFBlock at >=128-ch stages 5169 vs 6448 bf16; at the
+        # 384-ch stage only 5383 — the bare boundary un-fuses LN from W1
+        # (the round-3 integration receipt), so the remaining candidate
+        # is the LN-inside sublayer span, same shape ViT serves with.
         quantize_ff = (self.quantized in ('ff', 'all')
-                       and self.embed_dim >= 256)
+                       and self.embed_dim >= 256
+                       and self.activation_fn is nn.activation.gelu)
+        if quantize_ff:
+            from sav_tpu.nn.attention import LayerNormParams
+            from sav_tpu.nn.feedforward import FFParams
+            from sav_tpu.ops import int8_ff
+            dim = x.shape[-1]
+            s, b = LayerNormParams(dim, name='LayerNorm_0')()
+            w1, b1, w2, b2 = FFParams(
+                dim, max(1, int(self.expand_ratio * dim)),
+                name='FFBlock_0')()
+            return int8_ff.int8_ff_sublayer(
+                x.astype(self.dtype), s, b, w1, b1, w2, b2)
+
+        y = nn.LayerNorm(dtype=self.dtype)(x)
         y = FFBlock(expand_ratio=self.expand_ratio,
                     activation_fn=self.activation_fn,
-                    dtype=self.dtype,
-                    quantized='ff' if quantize_ff else False)(
-                        y, is_training=is_training)
+                    dtype=self.dtype)(y, is_training=is_training)
         return x + y
 
 
