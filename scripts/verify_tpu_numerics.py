@@ -219,10 +219,14 @@ def check_int8_ff():
     hpre = jax.random.normal(ks[1], (m, ff), jnp.float32)
     w1t_q, s1t = quantize_symmetric(w1.T, axis=0)
     w2t_q, s2t = quantize_symmetric(w2.T, axis=0)
-    got = jax.jit(int8_ff.int8_ff_dx_raw)(g, hpre, w1t_q, s1t, w2t_q, s2t)
-    want = jax.jit(int8_ff.int8_ff_dx_reference)(g, hpre, w1t_q, s1t,
-                                                 w2t_q, s2t)
-    record('int8 FF-dx kernel vs twin', rel_max(got, want), 1e-3)
+    got_dy, got_dh = jax.jit(int8_ff.int8_ff_dx_raw)(
+        g, hpre, w1t_q, s1t, w2t_q, s2t)
+    want_dy, want_dh = jax.jit(int8_ff.int8_ff_dx_reference)(
+        g, hpre, w1t_q, s1t, w2t_q, s2t)
+    record('int8 FF-dx kernel vs twin (dy)', rel_max(got_dy, want_dy),
+           1e-3)
+    record('int8 FF-dx kernel vs twin (dh)', rel_max(got_dh, want_dh),
+           1e-3)
 
 
 def check_q8_sublayer():
