@@ -145,15 +145,23 @@ class EncoderBlock(nn.Module):
         # outer attention sublayer: on TPU the whole LN->qkv->core->out-proj
         # span runs under one custom_vjp boundary (ops.fused_layer,
         # residual=False because TNT's skip adds the PRE-bridge patch
-        # embeddings, reference tnt.py:77-85); parameter tree unchanged
-        # explicit opt-in only: auto-routing measured a consistent ~0.4%
-        # LOSS on TNT-S @224 (507.5 vs 509.8 img/s, two runs) — the outer
-        # attention is too small a share of TNT's step to pay for the
-        # boundary, unlike ViT (docs/PERFORMANCE.md round-3)
+        # embeddings, reference tnt.py:77-85); parameter tree unchanged.
+        # Auto-routing is ROW-COUNT gated: at bs64 @224 (12.6k rows) the
+        # fused span measured a 2.1% loss (r3, 40.79 vs 39.94 ms/step),
+        # but at bs128/bs192 it WINS +20.7%/+10.1% (r4,
+        # benchmarks/tnt_outer_fused_probe.py: 1289.4 -> 1555.8 and
+        # 1347.6 -> 1483.1 img/s) — the boundary tax amortizes once the
+        # span has enough rows, the ViT-B mechanism.
         from sav_tpu.models.vit import FUSED_LAYER_MODES
         fused_core = FUSED_LAYER_MODES.get(self.use_kernel)
         if self.use_kernel == 'fused_inner_outer':
             fused_core = 'fused'   # inner kernel + fused outer sublayer
+        if (fused_core is None and self.use_kernel == 'auto'
+                and not (self.attn_dropout_rate or self.dropout_rate)):
+            import jax as _jax
+            rows = bridged.shape[0] * bridged.shape[-2]
+            if _jax.default_backend() == 'tpu' and rows >= 20000:
+                fused_core = 'fused'
         if fused_core is not None:
             from sav_tpu.nn.attention import (AttentionSublayerParams,
                                               LayerNormParams)
