@@ -67,9 +67,13 @@ def _list_images(pattern: str):
               default='none',
               help="int8 serving: 'ff' runs each FF sublayer as one int8 "
                    "Pallas kernel — measured 1.23x bf16 inference "
-                   "throughput on ViT-B @224 (benchmarks/infer_int8_probe"
-                   ".py); weights quantize on the fly, so pair with a QAT "
-                   "(--quantized ff) checkpoint for best accuracy")
+                   "throughput on ViT-B @224 and 1.20x on Mixer-B "
+                   "(channel-mix FFs; benchmarks/infer_int8_probe.py, "
+                   "serve_sweep.py). CvT: measured a LOSS at its narrow "
+                   "FF widths, receipts in docs/PERFORMANCE.md — stay "
+                   "bf16 there. Weights quantize on the fly, so pair "
+                   "with a QAT (--quantized ff) checkpoint for best "
+                   "accuracy")
 def main(model_name, checkpoint_dir, images, img_size, batch_size, top_k,
          num_classes, dtype, ema, class_names, quantized):
     q = False if quantized == 'none' else (
