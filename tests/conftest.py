@@ -46,6 +46,8 @@ HEAVY_FILES = {
     'test_hf_import.py',    # transformers torch model forward
     'test_timm_import.py',  # torch-native twin forward
     'test_scan_layers.py',  # deep scanned-model compiles
+    'test_tnt_inner.py',    # whole-TNT interpret-mode kernel routes
+    'test_int8_ff.py',      # model-level quantized trees + train steps
 }
 
 
