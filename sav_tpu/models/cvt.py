@@ -208,6 +208,12 @@ class CvT(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
+        if self.quantized and self.quantized not in ('ff', 'all'):
+            raise ValueError(
+                f'CvT quantized={self.quantized!r} is not supported: only '
+                "'ff'/'all' (int8 FF on >=256-ch stages; narrower stages "
+                'measured a loss at every granularity — '
+                'docs/PERFORMANCE.md round-4).')
         x = inputs
         for i in range(len(self.stage_sizes) - 1):
             x = Stage(size=self.stage_sizes[i],

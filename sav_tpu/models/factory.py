@@ -184,7 +184,8 @@ def create_model(model_name: str,
     fields = getattr(model_cls, '__dataclass_fields__', {})
     unknown = [k for k in overrides if fields and k not in fields]
     if unknown:
-        hint = (' (--quantized covers the ViT and CaiT families)'
+        hint = (' (--quantized is honored by the ViT, CaiT, Mixer and '
+                'CvT families; this family has no int8 path)'
                 if 'quantized' in unknown else '')
         raise RuntimeError(
             f'{model_cls.__name__} does not support '

@@ -122,6 +122,12 @@ class MLPMixer(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, is_training: bool):
+        if self.quantized and self.quantized not in ('ff', 'all'):
+            raise ValueError(
+                f'MLPMixer quantized={self.quantized!r} is not supported: '
+                "only 'ff'/'all' (channel-mix FFs int8; token-mix GEMMs "
+                'are too narrow to beat the quantize passes). Use '
+                "--quantized ff for int8 serving.")
         x = PatchEmbedBlock(patch_shape=self.patch_shape,
                             embed_dim=self.embed_dim,
                             use_bias=True,

@@ -377,9 +377,10 @@ def test_mixer_quantized_ff_tree_and_output():
 
 
 def test_cvt_quantized_ff_tree_and_output():
-    """CvT(quantized='ff'): FF GEMMs int8 on >=128-ch stages (stage-1's
-    64-ch FF stays bf16); identical param tree, output within int8
-    noise."""
+    """CvT(quantized='ff'): FF GEMMs int8 on >=256-ch stages only
+    (models/cvt.py gate: embed_dim >= 256 — the 64- and 128-ch stages
+    stay bf16; narrower widths measured a loss, docs/PERFORMANCE.md
+    round-4); identical param tree, output within int8 noise."""
     from sav_tpu.models.cvt import CvT
     mk = lambda **kw: CvT(num_classes=10, stage_sizes=(1, 1, 2),
                           num_heads=(1, 2, 4), embed_dim=(64, 128, 256),
@@ -398,3 +399,52 @@ def test_cvt_quantized_ff_tree_and_output():
     rms = np.sqrt(np.mean(np.square(a))) + 1e-9
     assert np.sqrt(np.mean(np.square(a - b))) / rms < 0.05, \
         np.sqrt(np.mean(np.square(a - b))) / rms
+
+
+def test_cvt_quantized_gate_is_256ch():
+    """Pin the CvT int8 gate value: a 128-ch-max CvT with quantized='ff'
+    is BIT-EQUAL to bf16 (no stage quantizes), while a 256-ch stage
+    produces int8-noise differences — so the >=256 threshold in
+    models/cvt.py is enforced by a test, not just a docstring."""
+    from sav_tpu.models.cvt import CvT
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                          jnp.float32)
+
+    def outputs(embed_dim):
+        mk = lambda **kw: CvT(num_classes=10, stage_sizes=(1, 1, 1),
+                              num_heads=(1, 2, 2), embed_dim=embed_dim,
+                              **kw)
+        base, q8 = mk(), mk(quantized='ff')
+        v = base.init(jax.random.PRNGKey(1), x, is_training=False)
+        # the head Dense is zero-init — nudge every param off zero so
+        # logits actually reflect the trunk
+        leaves, treedef = jax.tree_util.tree_flatten(v)
+        ks = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+        v = jax.tree_util.tree_unflatten(treedef, [
+            p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+            for p, k in zip(leaves, ks)])
+        a = np.asarray(base.apply(v, x, is_training=False, mutable=False))
+        b = np.asarray(q8.apply(v, x, is_training=False, mutable=False))
+        return a, b
+
+    a, b = outputs((32, 64, 128))       # all below the gate
+    assert np.array_equal(a, b), 'sub-256-ch stages must stay bf16'
+    a, b = outputs((32, 64, 256))       # top stage crosses the gate
+    assert not np.array_equal(a, b), '256-ch stage must quantize'
+
+
+def test_quantized_unsupported_mode_raises():
+    """ADVICE r4: quantized=True (predict.py --quantized int8) must not
+    silently serve bf16 on families whose gates only honor 'ff'/'all'."""
+    import pytest
+    from sav_tpu.models.cvt import CvT
+    from sav_tpu.models.mlp_mixer import MLPMixer
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    m = MLPMixer(num_classes=10, num_layers=1, embed_dim=64,
+                 patch_shape=(8, 8), quantized=True)
+    with pytest.raises(ValueError, match='quantized=True'):
+        m.init(jax.random.PRNGKey(0), x, is_training=False)
+    c = CvT(num_classes=10, stage_sizes=(1, 1, 1), num_heads=(1, 1, 1),
+            embed_dim=(32, 64, 128), quantized='ff_sb')
+    with pytest.raises(ValueError, match="quantized='ff_sb'"):
+        c.init(jax.random.PRNGKey(0), x, is_training=False)
