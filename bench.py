@@ -66,17 +66,30 @@ TRACKED_CONFIGS = (
     # cvt_test.py:16)
     ('vit_b_patch16', 384, 48),
     ('cait_s_24', 384, 48),
-    # ours-only: the reference BoTNet cannot run (botnet.py:185,227 crash)
-    # and even minimally patched its attention is not attention (softmax
-    # over one axis, value contraction drops the key grid) — no comparable
-    # baseline exists (see tests/test_golden_parity.py BoTNet notes)
+    # round-5: BoTNet rows get a matched baseline = the minimally-patched
+    # reference (same 3 crash fixes as test_golden_parity.py, jit+scan
+    # methodology). Caveat carried in the row: the patched reference's
+    # post-fix attention is not paper attention (softmax over one axis,
+    # value contraction drops the key grid, botnet.py:194,198-200) — it is
+    # the only definable "reference as it can be made to run" baseline.
     ('botnet_t3', 224, 64),
     # the largest factory model that fits one v5e: bs48 OOMs (the ours +
     # matched-reference lanes share the process), bs32 runs with headroom
     ('vit_l_patch16', 224, 32),
+    # round-5 top-of-zoo rows (VERDICT r4 next-round #1): the factory's
+    # largest configs, throughput-optimal single-chip batches
+    ('vit_l_patch16', 384, 16),
+    ('cait_m_48', 224, 32),
+    ('ceit_b', 224, 32),
+    ('cvt-w24', 384, 16),
+    ('mixer_l_patch16', 224, 64),
+    ('botnet_t4', 224, 48),
 )
 
-NO_BASELINE = {'botnet_t3'}
+NO_BASELINE = set()
+BOTNET_NOTE = ('matched = minimally-patched reference (the 3 crash fixes '
+               'from test_golden_parity.py; its post-fix attention is not '
+               'paper attention — only definable baseline)')
 
 
 def _batch(batch_size, img=IMG, seed=1):
@@ -146,6 +159,8 @@ def _reference_model(model_name):
     reference's model CODE at our (paper-correct) dimensions, exactly as
     in tests/test_golden_parity.py.
     """
+    import inspect
+
     if '/root/reference' not in sys.path:
         sys.path.insert(0, '/root/reference')
     import models as reference_models
@@ -175,7 +190,30 @@ def _reference_model(model_name):
                      module.__file__ + ' (jit patch)', 'exec'), ns)
         return ns
 
-    if model_cls.__name__ == 'CvT':
+    if model_cls.__name__ == 'BoTNet':
+        # the published reference BoTNet crashes on three bugs
+        # (botnet.py:185,227,232 + squeeze_excite.py:32-33); apply exactly
+        # the minimal in-memory fixes test_golden_parity.py documents so a
+        # matched-compute baseline exists at all (VERDICT r4 missing #4)
+        import models.botnet as ref_botnet
+        import models.layers.squeeze_excite as ref_se
+        se_src = inspect.getsource(ref_se)
+        se_src = se_src.replace('keepdims=True)(inputs)', 'keepdims=True)')
+        se_ns = {}
+        exec(compile(se_src, ref_se.__file__ + ' (patched)', 'exec'), se_ns)
+        bot_src = inspect.getsource(ref_botnet)
+        bot_src = bot_src.replace('jnp.sqrt(self.head_dim)',
+                                  'jnp.sqrt(self.head_ch)')
+        bot_src = bot_src.replace('cfg = self.config\n', '')
+        bot_src = bot_src.replace(
+            'BoTMHSA(config=cfg)',
+            'BoTMHSA(num_heads=4, head_ch=self.filters // 4)')
+        bot_ns = {}
+        exec(compile(bot_src, ref_botnet.__file__ + ' (patched)', 'exec'),
+             bot_ns)
+        bot_ns['SqueezeExciteBlock'] = se_ns['SqueezeExciteBlock']
+        ref_cls = bot_ns['BoTNet']
+    elif model_cls.__name__ == 'CvT':
         import models.cvt as ref_cvt_mod
         ref_cls = jit_patched_ns(ref_cvt_mod)['CvT']
     elif model_cls.__name__ == 'CeiT':
@@ -188,6 +226,14 @@ def _reference_model(model_name):
         ref_cls = ceit_ns['CeiT']
 
     return ref_cls(num_classes=1000, dtype=jnp.bfloat16, **config)
+
+
+def _train_kwarg(model):
+    """Reference BoTNet takes ``train=``; every other reference model (and
+    ours) takes ``is_training=`` (reference: models/botnet.py:278)."""
+    import inspect
+    params = inspect.signature(type(model).__call__).parameters
+    return 'train' if 'train' in params else 'is_training'
 
 
 def _reference_loss_fn(model, batch_images, labels):
@@ -205,8 +251,8 @@ def _reference_loss_fn(model, batch_images, labels):
         variables = {'params': params, **extra_state}
         mutable = list(extra_state.keys())
         out = model.apply(variables, batch_images.astype(jnp.bfloat16),
-                          is_training=True, rngs=rngs,
-                          mutable=mutable if mutable else False)
+                          rngs=rngs, mutable=mutable if mutable else False,
+                          **{_train_kwarg(model): True})
         logits, new_state = out if mutable else (out, {})
         y = optax.smooth_labels(jax.nn.one_hot(labels, 1000), 0.1)
         loss = jnp.mean(optax.softmax_cross_entropy(
@@ -233,9 +279,10 @@ def bench_reference_matched(model_name, img, batch_size):
     tx = optax.chain(optax.scale_by_adam(),
                      optax.add_decayed_weights(1e-4),
                      optax.scale(-1e-3))
-    variables = dict(jax.jit(model.init, static_argnames='is_training')(
+    tk = _train_kwarg(model)
+    variables = dict(jax.jit(model.init, static_argnames=tk)(
         jax.random.PRNGKey(0), jnp.ones((1, img, img, 3)),
-        is_training=False))
+        **{tk: False}))
     params = variables.pop('params')
     extra_state = variables              # batch_stats for BN models, else {}
     opt_state = tx.init(params)
@@ -271,9 +318,10 @@ def bench_reference_as_written(model_name, img, batch_size,
     tx = optax.chain(optax.scale_by_adam(),
                      optax.add_decayed_weights(1e-4),
                      optax.scale(-1e-3))
-    variables = dict(jax.jit(model.init, static_argnames='is_training')(
+    tk = _train_kwarg(model)
+    variables = dict(jax.jit(model.init, static_argnames=tk)(
         jax.random.PRNGKey(0), jnp.ones((1, img, img, 3)),
-        is_training=False))
+        **{tk: False}))
     params = variables.pop('params')
     extra_state = variables
     opt_state = tx.init(params)
@@ -347,6 +395,8 @@ def bench_one(model_name, img, batch_size, with_as_written=True):
         result['vs_baseline'] = None
         result['vs_matched'] = None
         return result
+    if model_name.startswith('botnet'):
+        result['baseline_note'] = BOTNET_NOTE
     matched = bench_reference_matched(model_name, img, batch_size)
     result['vs_matched'] = round(matched / ours, 4)
     if with_as_written:
@@ -366,12 +416,17 @@ def main():
                         help='sweep all BASELINE.json tracked configs')
     parser.add_argument('--model', default=None,
                         help='run only tracked configs for this model name')
+    parser.add_argument('--img', type=int, default=None,
+                        help='with --model: only the config at this '
+                             'resolution')
     parser.add_argument('--batch-size', type=int, default=None)
     args = parser.parse_args()
 
     on_tpu = jax.default_backend() == 'tpu'
     if args.model:
-        configs = tuple(c for c in TRACKED_CONFIGS if c[0] == args.model)
+        configs = tuple(c for c in TRACKED_CONFIGS
+                        if c[0] == args.model
+                        and (args.img is None or c[1] == args.img))
         if not configs:
             raise SystemExit(f'no tracked config for {args.model!r}')
     else:
