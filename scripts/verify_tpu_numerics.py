@@ -176,10 +176,10 @@ def check_tnt_inner():
                     args, tuple(range(13))), 1e-2)
 
 
-def check_mixer_token():
+def check_mixer_token(dim=768, tag='mixer_b'):
     from sav_tpu.ops import mixer_token
-    b, l, dim = 4, 196, 768
-    k = 98                              # tokens_expand_ratio 0.5 (mixer_b)
+    b, l = 4, 196
+    k = 98                              # tokens_expand_ratio 0.5
     if not mixer_token.supported(l, k, dim):
         print('skip  mixer token-mix: unsupported geometry')
         return
@@ -193,11 +193,33 @@ def check_mixer_token():
             0.1 * jax.random.normal(ks[6], (l,)))
     kern = jax.jit(lambda *a: mixer_token.token_mix_sublayer(*a))
     twin = jax.jit(lambda *a: mixer_token.token_mix_reference(*a))
-    record('mixer token-mix fwd', rel_max(kern(*args), twin(*args)), 5e-3)
-    record('mixer token-mix grad',
+    record(f'mixer token-mix fwd {tag}',
+           rel_max(kern(*args), twin(*args)), 5e-3)
+    record(f'mixer token-mix grad {tag}',
            grad_err(mixer_token.token_mix_sublayer,
                     mixer_token.token_mix_reference,
                     args, tuple(range(7))), 1e-2)
+
+
+def check_fused_sublayer_noresidual(b, l, dim, h, d, tag):
+    """TNT's outer span: attention_sublayer with residual=False (the skip
+    adds the PRE-bridge patch stream, models/tnt.py:146-149)."""
+    from sav_tpu.ops import fused_layer
+    core = fused_layer.auto_core(l, h, d)
+    if core is None:
+        print(f'skip  fused sublayer(nores) {tag}: auto_core=None')
+        return
+    args = sublayer_args(b, l, dim, h, d)
+    kern = jax.jit(lambda *a: fused_layer.attention_sublayer(
+        *a, h, core=core, residual=False))
+    twin = jax.jit(lambda *a: jnp_sublayer(*a, h) - a[0])
+    record(f'fused[{core}] nores fwd {tag}',
+           rel_max(kern(*args), twin(*args)), 2e-2)
+    record(f'fused[{core}] nores grad {tag}',
+           grad_err(lambda *a: fused_layer.attention_sublayer(
+               *a, h, core=core, residual=False),
+                    lambda *a: jnp_sublayer(*a, h) - a[0],
+                    args, (0, 3, 4, 5, 6)), 4e-2)
 
 
 def check_int8_ff():
@@ -261,10 +283,18 @@ def main():
     check_mixer_token()
     check_int8_ff()
     check_q8_sublayer()
+    # round-5 dispatch shapes (VERDICT r4 #7): top-of-zoo configs
+    check_th(2, 196, 768, 16, 48, 'cait_m48@224')
+    check_mixer_token(dim=1024, tag='mixer_l')
+    # TNT outer auto-fusion fires at >=20k rows (bs>=104 at L=197);
+    # numerics checked at a smaller row count, same code path
+    check_fused_sublayer_noresidual(8, 197, 384, 6, 64, 'tnt_outer')
     if not args.quick:
         check_flash(2, 577, 12, 64, 'vit_b@384')
         check_fused_sublayer(2, 577, 768, 12, 64, 'vit_b@384')
         check_th(2, 576, 384, 8, 48, 'cait_s24@384')
+        check_flash(2, 577, 16, 64, 'vit_l@384')
+        check_fused_sublayer(2, 577, 1024, 16, 64, 'vit_l@384')
 
     n_fail = sum(1 for r in RESULTS if not r[4])
     print(f'\n{len(RESULTS) - n_fail}/{len(RESULTS)} checks passed')
