@@ -79,8 +79,15 @@ TRACKED_CONFIGS = (
     # round-5 top-of-zoo rows (VERDICT r4 next-round #1): the factory's
     # largest configs, throughput-optimal single-chip batches
     ('vit_l_patch16', 384, 16),
-    ('cait_m_48', 224, 32),
-    ('ceit_b', 224, 32),
+    # bs32 OOMs with the ours+matched lanes sharing the process (r5 queue
+    # receipt); bs16 runs both
+    ('cait_m_48', 224, 16),
+    # ceit_b is NOT tracked: 1108M params (the reference's full-conv LeFF,
+    # leff.py:46-51, at 3072 ch = 85M/layer) — f32 params + Adam moments
+    # alone are 11.1 GB, + f32 grads and the bf16 compute cast exceeds
+    # 16 GB HBM at ANY batch (both bs32 and bs16 OOM'd, r5 queue receipt).
+    # Single-chip training is structurally impossible; the parallel tier
+    # (TP/PP) is the path. Serving fits (bf16 params 2.2 GB, serve_sweep).
     ('cvt-w24', 384, 16),
     ('mixer_l_patch16', 224, 64),
     ('botnet_t4', 224, 48),
