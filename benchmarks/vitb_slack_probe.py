@@ -135,11 +135,12 @@ def phase_nometrics(batch_size):
 
 
 def phase_fwd(batch_size):
+    # params must be an ARGUMENT: closed-over trees become HLO constants
+    # and the 330 MB blows the tunnel's remote_compile body limit (413)
     model, tx, state, batch = setup(batch_size)
     loss_fn = loss_pieces(model, batch)
-    params = state.params
 
-    def run(images):
+    def run(params, images):
         def body(carry, i):
             loss = loss_fn(params, carry)
             # keep each iteration distinct so XLA can't hoist the body
@@ -147,15 +148,15 @@ def phase_fwd(batch_size):
         images, losses = jax.lax.scan(body, images, jnp.arange(STEPS))
         return losses[-1]
 
-    return time_run(jax.jit(run), batch['images'], fetch=lambda o: o)
+    return time_run(jax.jit(run), state.params, batch['images'],
+                    fetch=lambda o: o)
 
 
 def phase_fwdbwd(batch_size):
     model, tx, state, batch = setup(batch_size)
     loss_fn = loss_pieces(model, batch)
-    params = state.params
 
-    def run(images):
+    def run(params, images):
         def body(carry, i):
             loss, grads = jax.value_and_grad(loss_fn)(params, carry)
             gsum = sum(jnp.sum(jnp.abs(g).astype(jnp.float32))
@@ -164,7 +165,8 @@ def phase_fwdbwd(batch_size):
         images, losses = jax.lax.scan(body, images, jnp.arange(STEPS))
         return losses[-1]
 
-    return time_run(jax.jit(run), batch['images'], fetch=lambda o: o)
+    return time_run(jax.jit(run), state.params, batch['images'],
+                    fetch=lambda o: o)
 
 
 def phase_opt(batch_size):
@@ -173,14 +175,14 @@ def phase_opt(batch_size):
         lambda p: (1e-3 * jax.random.normal(
             jax.random.PRNGKey(5), p.shape)).astype(p.dtype), state.params)
 
-    def run(state):
+    def run(state, grads):
         def body(carry, i):
             new_state = carry.apply_gradients(tx, grads, None)
             return new_state, ()
         state, _ = jax.lax.scan(body, state, jnp.arange(STEPS))
         return state
     return time_run(
-        jax.jit(run), state,
+        jax.jit(run), state, grads,
         fetch=lambda st: jnp.sum(
             jax.tree_util.tree_leaves(st.params)[0].astype(jnp.float32)))
 
