@@ -502,6 +502,10 @@ class Trainer:
         # not every chunk — per-chunk async saves measured multi-second
         # stalls waiting on the previous write
         steps_per_ckpt = c.steps_per_epoch * c.checkpoint_every_epochs
+        # eval on the same cadence as the per-step loop (r5 fix: chained
+        # dispatch previously evaluated only once at the end, so long
+        # runs logged no accuracy curve at all)
+        steps_per_eval = c.steps_per_epoch * c.eval_every_epochs
         last_saved = step
         last_data_state = None
         try:
@@ -533,6 +537,11 @@ class Trainer:
                     self.checkpoints.save(step, self.state,
                                           data_state=data_state)
                     last_saved = step
+                if (steps_per_eval > 0 and (step % steps_per_eval) < n
+                        and step < c.steps_total):
+                    eval_metrics = self.evaluate(eval_data, c.eval_batches)
+                    self.logger.log(eval_metrics, step)
+                    last_metrics.update(eval_metrics)
                 if self._preempted:
                     break
         finally:

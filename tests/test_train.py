@@ -658,3 +658,40 @@ def test_grad_accum_rejects_indivisible_batch():
         steps_lib.train_step(state, batch, jax.random.PRNGKey(0),
                              model=model, tx=tx, num_classes=NUM_CLASSES,
                              label_smoothing=0.1, grad_accum=3)
+
+
+def test_trainer_chained_eval_cadence(tmp_path):
+    """r5 fix: the chained-host loop (steps_per_dispatch>1) must evaluate
+    on the eval_every_epochs cadence like the per-step loop — before the
+    fix it evaluated ONCE at the end, so long runs logged no accuracy
+    curve (the round-4 soaks' logs have no mid-run eval lines)."""
+    from sav_tpu.data.grain_loader import write_npz_shards
+    from sav_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, (32, IMG, IMG, 3), dtype=np.uint8)
+    labels = rng.randint(0, NUM_CLASSES, size=32)
+    shard_dir = os.fspath(tmp_path / 'shards')
+    write_npz_shards(images, labels, shard_dir, shard_size=16)
+
+    config = TrainConfig(model_name='vit_ti_patch16', img_size=IMG,
+                         batch_size=8, num_epochs=3, images_per_epoch=16,
+                         dtype='float32', num_classes=NUM_CLASSES,
+                         steps_per_dispatch=2, dataset=shard_dir,
+                         log_every=1, eval_every_epochs=1,
+                         checkpoint_every_epochs=10**6, eval_batches=1)
+    trainer = Trainer(config)
+    eval_steps = []
+    orig_log = trainer.logger.log
+
+    def spy(metrics, step):
+        if any(k.startswith('eval_') for k in metrics):
+            eval_steps.append(step)
+        orig_log(metrics, step)
+
+    trainer.logger.log = spy
+    metrics = trainer.run()
+    # 2 steps/epoch x 3 epochs: mid-run evals after epochs 1 and 2
+    # (steps 2, 4) plus the final eval at step 6
+    assert eval_steps == [2, 4, 6], eval_steps
+    assert np.isfinite(metrics['eval_loss'])

@@ -127,6 +127,9 @@ from sav_tpu.train import TrainConfig, Trainer
 @optgroup.option('--eval_batches', type=int, default=None,
                  help='eval batches per evaluation; default: the full '
                       'eval split (finite sources)')
+@optgroup.option('--eval_every_epochs', type=int, default=5,
+                 help='mid-training eval cadence in epochs (0 disables; '
+                      'a final eval always runs)')
 @optgroup.option('--finetune_from', type=str, default=None,
                  help='checkpoint dir to fine-tune from: fresh optimizer/'
                       'schedule, classifier head re-initialised on class-'
@@ -145,8 +148,8 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
          quantized, grad_accum, steps_per_dispatch, prefetch_chunks,
          images_per_epoch,
          data_workers, eval_data_dir,
-         holdout_fraction, eval_batches, finetune_from, finetune_use_ema,
-         num_classes, use_wandb):
+         holdout_fraction, eval_batches, eval_every_epochs, finetune_from,
+         finetune_use_ema, num_classes, use_wandb):
     # absl buffers INFO below its standalone default — without this the
     # per-step metric lines (and 'restoring checkpoint at step N') never
     # reach the terminal
@@ -185,6 +188,7 @@ def main(data_dir, img_size, num_epochs, batch_size, label_smoothing,
         eval_dataset=eval_data_dir,
         holdout_fraction=holdout_fraction,
         eval_batches=eval_batches,
+        eval_every_epochs=eval_every_epochs,
         finetune_from=finetune_from,
         finetune_use_ema=finetune_use_ema,
         num_classes=num_classes,
