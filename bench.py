@@ -108,9 +108,16 @@ def _batch(batch_size, img=IMG, seed=1):
 
 
 def _time_scan(step_fn, state, batch, steps=SCAN_STEPS, repeats=3):
-    """step_fn(state, batch, step_index) -> (state, loss). Returns s/step."""
+    """step_fn(state, batch, step_index) -> (state, loss). Returns s/step.
 
-    @jax.jit
+    The carried state is DONATED, exactly like the production train step
+    (steps.py make_train_step donate_argnums) — round-5 probe: donation
+    is worth 2.95 ms/step on ViT-B @224 bs192 (160.92 -> 157.97,
+    benchmarks/vitb_slack_probe.py 'donate' phase), and it lowers the
+    peak-memory water line (one live state instead of in+out copies).
+    Applied to BOTH the ours and matched-reference lanes."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state, batch):
         def body(carry, i):
             new_state, loss = step_fn(carry, batch, i)
@@ -118,17 +125,12 @@ def _time_scan(step_fn, state, batch, steps=SCAN_STEPS, repeats=3):
         state, losses = jax.lax.scan(body, state, jnp.arange(steps))
         return state, losses[-1]
 
-    state2, loss = run(state, batch)          # compile + warmup
+    state, loss = run(state, batch)           # compile + warmup
     float(loss)                               # force completion
     best = float('inf')
     for _ in range(repeats):
-        # free the previous run's output state BEFORE re-running: holding
-        # it alongside the input state, the new output, and the step's
-        # temporaries peaks ~3 state copies + temps — ViT-L @224 bs32
-        # (3.4 GB state, 5.7 GB temp) OOMs 16 GB HBM without this
-        del state2
         start = time.perf_counter()
-        state2, loss = run(state, batch)
+        state, loss = run(state, batch)       # rotates the donated carry
         float(loss)                           # forces the whole chain
         best = min(best, (time.perf_counter() - start) / steps)
     return best

@@ -113,7 +113,16 @@ def _block_sizes(q_len: int, kv_len: int, heads: int, d: int):
     if q_len <= _SINGLE_BLOCK_MAX_L and kv_len <= _SINGLE_BLOCK_MAX_L:
         bq1 = max(_round_up(q_len, 16), 64)
         bk1 = _round_up(kv_len, 128)
-        if budget < footprint(bq1, bk1) <= _RAISED_CAP:
+        # r5 fix: the BACKWARD must also fit its raised single block at
+        # these sizes — at h=16/L=577 (ViT-L @384) the fwd fit (34.3 MB)
+        # but the bwd did not (44.3 MB), and the fused core's shared
+        # 592-row pad (16*37: no 64-aligned divisor) then drove
+        # _bwd_blocks into a non-dividing fallback that silently dropped
+        # kv rows (numerics receipt: verify_tpu_numerics rel-max 0.565;
+        # the raised fwd kernel also faulted the TPU worker). h<=12
+        # shapes are unchanged (ViT-B @384 bwd cost 35.4 MB <= cap).
+        if (budget < footprint(bq1, bk1) <= _RAISED_CAP
+                and _bwd_cost(bq1, bk1, heads, d) <= _RAISED_CAP):
             return bq1, bk1
     # Preference order: fewest kv blocks first (each extra kv block pays
     # the online-softmax m/l carry over every q row — measured 3x slower
@@ -416,6 +425,17 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref,
             dv_ref[0, :, h * d:(h + 1) * d] = dv_acc[h].astype(dv_ref.dtype)
 
 
+def _bwd_cost(bq, bk, heads, d):
+    """VMEM cost model for the backward kernels at (bq, bk) blocks: the
+    dkv kernel holds 4 kv-sized operand blocks (k, v, dk, dv) plus two
+    kv-sized f32 accumulators and per-head logits-sized tiles."""
+    hd = heads * d
+    operands = (3 * bq + 4 * bk) * hd * 4          # double-buffered bf16
+    acc = 2 * heads * bk * d * 4                   # dk/dv f32 accumulators
+    s_tiles = heads * bq * bk * 4                  # live logits-sized f32
+    return operands + acc + s_tiles
+
+
 def _bwd_blocks(q_len_pad: int, kv_len_pad: int, block_q: int,
                 block_k: int, heads: int, d: int):
     """Backward block sizes, re-derived from the forward's.
@@ -427,13 +447,7 @@ def _bwd_blocks(q_len_pad: int, kv_len_pad: int, block_q: int,
     — p is recomputed from the saved lse, there is no online m/l carry —
     so kv splits are cheap. Blocks must divide the already-padded lengths.
     """
-    hd = heads * d
-
-    def cost(bq, bk):
-        operands = (3 * bq + 4 * bk) * hd * 4      # double-buffered bf16
-        acc = 2 * heads * bk * d * 4               # dk/dv f32 accumulators
-        s_tiles = heads * bq * bk * 4              # live logits-sized f32
-        return operands + acc + s_tiles
+    cost = functools.partial(_bwd_cost, heads=heads, d=d)
 
     def divisors(total, align, start):
         return [b for b in range(start, align - 1, -align)
@@ -452,7 +466,12 @@ def _bwd_blocks(q_len_pad: int, kv_len_pad: int, block_q: int,
         for bk in divisors(kv_len_pad, 64, block_k):
             if cost(bq, bk) <= budget:
                 return bq, bk
-    return 16, 64
+    # exhausted: smallest q rows with the smallest DIVIDING kv block —
+    # r5 fix: the old fixed (16, 64) fallback did not divide a 592-row
+    # pad (16*37), so _bwd's grid silently dropped the tail kv rows
+    bk_fall = next((bk for bk in (64, 128, 16) if kv_len_pad % bk == 0),
+                   kv_len_pad)
+    return 16, bk_fall
 
 
 def _bwd(q, k, v, out, lse, do, *, heads: int, block_q: int, block_k: int,
@@ -462,6 +481,10 @@ def _bwd(q, k, v, out, lse, do, *, heads: int, block_q: int, block_k: int,
     kv_len_pad = k.shape[1]
     block_q, block_k = _bwd_blocks(q_len_pad, kv_len_pad, block_q, block_k,
                                    heads, d)
+    # non-dividing blocks would make the grid silently skip tail rows
+    # (the r5 ViT-L @384 numerics bug) — fail loudly instead
+    assert q_len_pad % block_q == 0 and kv_len_pad % block_k == 0, \
+        (q_len_pad, block_q, kv_len_pad, block_k)
     num_q = q_len_pad // block_q
     num_k = kv_len_pad // block_k
 

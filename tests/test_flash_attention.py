@@ -207,3 +207,39 @@ def test_extreme_negative_logits_stable():
     assert np.isfinite(np.asarray(g_kern)).all()
     np.testing.assert_allclose(np.asarray(g_kern), np.asarray(g_ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_bwd_blocks_always_divide_the_pads():
+    """r5 regression: at ViT-L @384 geometry (h=16, L=577) the fwd's
+    raised single block produced a 592-row pad (16*37 — no 64-aligned
+    divisor), _bwd_blocks exhausted its candidates and returned the
+    fixed (16, 64) fallback, and _bwd's integer-division grid silently
+    dropped the tail kv rows: dk/dv for valid row 576 were never
+    written (TPU verifier rel-max 0.565; nan in interpret). Blocks must
+    always divide the padded lengths, for every geometry."""
+    for l in (64, 197, 257, 577, 592, 784, 1024, 3136):
+        for heads, d in ((1, 64), (4, 64), (8, 48), (12, 64), (16, 64),
+                         (16, 128)):
+            bq0, bk0 = flash_attention._block_sizes(l, l, heads, d)
+            qp = max(flash_attention._round_up(l, bq0), 64)
+            kp = flash_attention._round_up(l, bk0)
+            bq, bk = flash_attention._bwd_blocks(qp, kp, bq0, bk0,
+                                                 heads, d)
+            assert qp % bq == 0 and kp % bk == 0, (l, heads, d, bq, bk)
+            # the fused core pads q and kv to ONE shared length
+            sp = max(flash_attention._round_up(l, bq0), 64)
+            bq, bk = flash_attention._bwd_blocks(sp, sp, sp, sp, heads, d)
+            assert sp % bq == 0 and sp % bk == 0, (l, heads, d, bq, bk)
+
+
+def test_raised_regime_requires_backward_fit():
+    """r5 fix: the raised single-block fwd regime must only engage when
+    the backward also fits _RAISED_CAP — h=12 @384 stays raised (the
+    receipted 1.385x path), h=16 falls to multi-block (the worker-fault
+    + silent-drop geometry)."""
+    assert flash_attention._block_sizes(577, 577, 12, 64) == (592, 640)
+    bq, bk = flash_attention._block_sizes(577, 577, 16, 64)
+    assert flash_attention._round_up(577, bq) > bq, (bq, bk)  # multi-q
+    from sav_tpu.ops import fused_layer
+    assert not fused_layer.fused_supported(577, 16, 64)
+    assert fused_layer.fused_supported(577, 12, 64)
