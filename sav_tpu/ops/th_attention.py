@@ -93,10 +93,18 @@ def th_blocked_supported(l: int, num_heads: int, head_ch: int) -> bool:
 
 def th_mode(l: int, num_heads: int, head_ch: int):
     """'fused' (whole span in one kernel), 'blocked' (XLA LN/proj inside
-    the boundary + q-blocked Pallas core), or None (jnp path)."""
+    the boundary + q-blocked Pallas core), or None (jnp path).
+
+    The blocked core only routes at l >= 320, its receipted regime
+    (built for @384, where it took cait_s from 93.1 to 181.3 img/s).
+    Round-5 receipt for the floor: cait_m_48 @224 (l=196, h=16 — the
+    'fused' list misses its VMEM cap, so 'blocked' was the fallback)
+    measured 126.0 img/s blocked vs 156.5 per-op XLA — q-blocking pays
+    re-reads that only amortize at @384 row counts
+    (benchmarks/cait_m_probe.py, sweep_r05)."""
     if th_supported(l, num_heads, head_ch):
         return 'fused'
-    if th_blocked_supported(l, num_heads, head_ch):
+    if l >= 320 and th_blocked_supported(l, num_heads, head_ch):
         return 'blocked'
     return None
 
