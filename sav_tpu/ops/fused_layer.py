@@ -479,7 +479,17 @@ def auto_core(l: int, num_heads: int, head_ch: int):
         return None            # CPU interpret mode would be a slowdown
     if l < 64 or head_ch % fa.BAND or head_ch > 256:
         return None            # flash core's shape support envelope
-    return 'fused' if fused_supported(l, num_heads, head_ch) else 'flash'
+    if fused_supported(l, num_heads, head_ch):
+        return 'fused'
+    # r5 receipt (benchmarks/vitl384_probe.py): at h=16 the raised
+    # single block is excluded for backward-VMEM correctness
+    # (flash_attention.py r5 fix), and the multi-block flash span then
+    # LOSES to per-op XLA — vit_l @384 bs16: 82.4 img/s flash vs 91.1
+    # XLA. The per-head unrolled logit liveness that pays at h<=12
+    # degrades at 16 heads; route XLA there.
+    if num_heads >= 16:
+        return None
+    return 'flash'
 
 
 # ----------------------------------------- FF sublayer, fused backward

@@ -243,3 +243,20 @@ def test_raised_regime_requires_backward_fit():
     from sav_tpu.ops import fused_layer
     assert not fused_layer.fused_supported(577, 16, 64)
     assert fused_layer.fused_supported(577, 12, 64)
+
+
+def test_auto_core_routes_xla_at_16_heads_multiblock():
+    """r5 receipt: multi-block flash at h=16 loses to per-op XLA
+    (vit_l @384: 82.4 vs 91.1 img/s) — auto_core must return None
+    there, while keeping 'fused' at vit_l @224 (single-block regime,
+    +4.3% r4 receipt) and 'flash'/'fused' at h<=12 shapes."""
+    import unittest.mock as mock
+    from sav_tpu.ops import fused_layer
+    with mock.patch.object(flash_attention.jax, 'default_backend',
+                           return_value='tpu'), \
+         mock.patch.object(fused_layer.jax, 'default_backend',
+                           return_value='tpu'):
+        assert fused_layer.auto_core(577, 16, 64) is None   # vit_l @384
+        assert fused_layer.auto_core(197, 16, 64) == 'fused'  # @224
+        assert fused_layer.auto_core(577, 12, 64) == 'fused'  # vit_b @384
+        assert fused_layer.auto_core(197, 12, 64) == 'fused'
