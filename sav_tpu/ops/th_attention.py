@@ -53,12 +53,16 @@ from sav_tpu.ops.fused_layer import LN_EPS, _layernorm, _layernorm_bwd
 BAND = fa.BAND
 STAT_LANES = fa.STAT_LANES
 # one f32 logits tile list is heads * lp * lane-padded(l) * 4 bytes; the
-# backward keeps ~4 lists live -> cap a list so the peak stays inside
-# the kernel's scoped-VMEM budget (with scan headroom). r5: raised
-# 3 MB -> 3.5 MB to admit cait_m @224 (h=16: 3.41 MB) — measured
-# on-chip at that size: compiles and WINS, 159.9 img/s fused vs 156.5
-# per-op XLA vs 126.0 q-blocked (benchmarks/cait_m_probe.py bs16)
-_MAX_LIST_BYTES = int(3.5 * 1024 * 1024)
+# backward keeps ~4 lists live -> cap a list at ~3 MB so the peak stays
+# inside the kernel's scoped-VMEM budget WITH the in-scan headroom.
+# r5 receipt for the cap's exact position: admitting cait_m @224
+# (h=16, 3.41 MB lists) WINS in a light probe step (159.9 img/s fused
+# vs 156.5 per-op XLA, benchmarks/cait_m_probe.py) but FAILS Mosaic
+# compile inside the full adam train-step scan (remote_compile 500,
+# r5_queue6.log) — the same "+~2 MB in-scan stack" rule as
+# flash_attention._block_sizes' budget. 3 MB stands; cait_m @224
+# routes per-op XLA (156.5 img/s, still ahead of the 149.8 reference).
+_MAX_LIST_BYTES = 3 * 1024 * 1024
 
 
 def th_supported(l: int, num_heads: int, head_ch: int) -> bool:
