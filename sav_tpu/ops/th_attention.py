@@ -55,14 +55,13 @@ STAT_LANES = fa.STAT_LANES
 # one f32 logits tile list is heads * lp * lane-padded(l) * 4 bytes; the
 # backward keeps ~4 lists live -> cap a list at ~3 MB so the peak stays
 # inside the kernel's scoped-VMEM budget WITH the in-scan headroom.
-# r5 receipt for the cap's exact position: admitting cait_m @224
-# (h=16, 3.41 MB lists) WINS in a light probe step (159.9 img/s fused
-# vs 156.5 per-op XLA, benchmarks/cait_m_probe.py) but FAILS Mosaic
-# compile inside the full adam train-step scan (remote_compile 500,
-# r5_queue6.log) — the same "+~2 MB in-scan stack" rule as
-# flash_attention._block_sizes' budget. 3 MB stands; cait_m @224
-# routes per-op XLA (156.5 img/s, still ahead of the 149.8 reference).
-_MAX_LIST_BYTES = 3 * 1024 * 1024
+# r5: 3.5 MB admits cait_m @224 (h=16, 3.41 MB lists). At that size the
+# kernels carry a raised per-kernel vmem limit (_fused_cparams below) —
+# without it the pair compiled standalone (and WON the light probe,
+# 159.9 vs 156.5 per-op XLA, benchmarks/cait_m_probe.py) but 500'd
+# inside the full train-step scan (the +~2 MB in-scan Mosaic stack).
+# Geometries under 3 MB keep the default compiler params byte-for-byte.
+_MAX_LIST_BYTES = int(3.5 * 1024 * 1024)
 
 
 def th_supported(l: int, num_heads: int, head_ch: int) -> bool:
@@ -114,6 +113,22 @@ def th_mode(l: int, num_heads: int, head_ch: int):
     if l >= 320 and th_blocked_supported(l, num_heads, head_ch):
         return 'blocked'
     return None
+
+
+def _fused_cparams(heads: int, lp: int, l: int):
+    """Raised per-kernel VMEM limit for fused-mode geometries whose f32
+    logit lists exceed what the 16 MB default absorbs (r5: cait_m @224,
+    h=16 -> 3.41 MB/list, ~4 live in the backward — compiled standalone
+    but 500'd inside the train-step scan until raised). Geometries under
+    the old 3 MB cap keep the default params, so every receipted config
+    compiles byte-identically."""
+    if fa._interpret():
+        return {}
+    lanes = fa._round_up(l, 128)
+    if heads * lp * lanes * 4 > 3 * 1024 * 1024:
+        return {'compiler_params': pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024)}
+    return {}
 
 
 def _mix_rows(m_ref, tiles, i):
@@ -245,6 +260,7 @@ def _th_fused_fwd(x, scale, bias, wq_f, wk_f, wv_f, wo_f, m_pre, m_post,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=fa._interpret(),
+        **_fused_cparams(heads, lp, l),
     )(x_p, row(scale), row(bias), wq_f, wk_f, wv_f, wo_f,
       m_pre.astype(jnp.float32), m_post.astype(jnp.float32))
     if not save_residuals:
@@ -333,6 +349,7 @@ def th_fused_bwd(qp, kp, vp, lse, do_p, m_pre, m_post, *, l, heads, dp):
             jax.ShapeDtypeStruct((b, heads, 128), jnp.float32),
         ],
         interpret=fa._interpret(),
+        **_fused_cparams(heads, lp, l),
     )(qp, kp, vp, do_p, lse, m_pre.astype(jnp.float32),
       m_post.astype(jnp.float32))
     dm_pre = jnp.sum(dmpre_b, axis=0)[:, :heads]

@@ -170,12 +170,17 @@ def test_th_mode_routing_regimes():
     """r5 regression pins, all measured (benchmarks/cait_m_probe.py +
     sweep_r05): the q-blocked core routes only at its receipted l >= 320
     regime (at l=196/h=16 it measured 126.0 img/s vs 156.5 per-op XLA).
-    cait_m @224 routes None -> per-op XLA: its 3.41 MB fused lists win
-    in a light probe (159.9) but fail Mosaic compile inside the full
-    train-step scan (the +2 MB in-scan stack rule), so the 3 MB cap
-    stands. cait_s keeps its round-3 routes."""
+    cait_m @224 routes 'fused' under the 3.5 MB cap WITH the raised
+    per-kernel vmem limit (_fused_cparams) — without the raise the pair
+    500'd inside the train-step scan. cait_s keeps its round-3 routes
+    (and its geometry stays under 3 MB: default compiler params)."""
     from sav_tpu.ops import th_attention as th
     assert th.th_mode(196, 8, 48) == 'fused'      # cait_s @224
     assert th.th_mode(576, 8, 48) == 'blocked'    # cait_s @384
-    assert th.th_mode(196, 16, 48) is None        # cait_m @224 -> XLA
+    assert th.th_mode(196, 16, 48) == 'fused'     # cait_m @224
     assert th.th_mode(576, 16, 48) is None        # over both list caps
+    import unittest.mock as mock
+    from sav_tpu.ops import flash_attention as fa
+    with mock.patch.object(fa, '_interpret', return_value=False):
+        assert th._fused_cparams(8, 208, 196) == {}   # cait_s: defaults
+        assert th._fused_cparams(16, 208, 196) != {}  # cait_m: raised
